@@ -1,0 +1,151 @@
+"""gStoreD vertex-signature bit math, bit-exact to the reference.
+
+Layout (Signature/Signature.h:20-40):
+  - STR_SIG_BASE=100, HASH_NUM=3 -> STR_SIG_LENGTH = 2*100*3 = 600 bits:
+    entity-neighbor bits in [0,300), literal-neighbor bits in [300,600).
+  - EDGE_SIG_INTERVAL_NUM_HALF=5, EDGE_SIG_INTERVAL_BASE=20 ->
+    EDGE_SIG_LENGTH = 200 bits in [600,800): in-edges use intervals 0-4,
+    out-edges intervals 5-9.
+  - ENTITY_SIG_LENGTH = 800 bits, packed here as 13 little-endian int64
+    words (``array<long>``), the Spark-friendly analog of
+    ``std::bitset<800>``.
+
+Formulas:
+  - neighbor string (Signature.cpp:112-155 encodeStr2Entity): for i in 0..2,
+    bit = 100*i + hash_i(str) % 100, where hash_i = Util::hash[i]
+    (simpleHash/APHash/BKDRHash, Util/Util.cpp:43); +300 if the neighbor is
+    a literal (first char '"'); strings starting '?' (query vars) encode
+    nothing.
+  - incident predicate (Signature.cpp:34-76 encodePredicate2Entity, method
+    1): interval = pre_id % 5 (+5 for out-edges); bit =
+    600 + 20*interval + (pre_id*5003 % 49957) % 20.
+
+The VS*-tree (VSTree/VSTree.cpp) parent-OR hierarchy becomes per-partition
+OR-aggregated signatures; containment pruning
+(SigEntry::cover, Signature/SigEntry.h:31-32) is the word-wise test
+``(data & query) == query`` expressed as DataFrame column ops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
+
+from gstored_spark.functions.hashing import HASH_FAMILY
+
+STR_SIG_BASE = 100
+HASH_NUM = 3
+STR_SIG_LENGTH = 2 * STR_SIG_BASE * HASH_NUM  # 600
+STR_SIG_LENGTH2 = STR_SIG_BASE * HASH_NUM  # 300
+EDGE_SIG_INTERVAL_NUM_HALF = 5
+EDGE_SIG_INTERVAL_BASE = 20
+EDGE_SIG_LENGTH = 2 * EDGE_SIG_INTERVAL_NUM_HALF * EDGE_SIG_INTERVAL_BASE  # 200
+ENTITY_SIG_LENGTH = STR_SIG_LENGTH + EDGE_SIG_LENGTH  # 800
+SIG_WORDS = (ENTITY_SIG_LENGTH + 63) // 64  # 13
+
+
+def str_bits(neighbor: str) -> list[int]:
+    """Bit positions a neighbor term sets in a vertex signature."""
+    if not neighbor or neighbor[0] == "?":
+        return []
+    off = STR_SIG_LENGTH2 if neighbor[0] == '"' else 0
+    return [
+        STR_SIG_BASE * i + h(neighbor) % STR_SIG_BASE + off
+        for i, h in enumerate(HASH_FAMILY)
+    ]
+
+
+def edge_bits(pre_id: int, is_out: bool) -> list[int]:
+    """Bit position an incident predicate sets (method 1)."""
+    interval = pre_id % EDGE_SIG_INTERVAL_NUM_HALF
+    if is_out:
+        interval += EDGE_SIG_INTERVAL_NUM_HALF
+    seed = pre_id * 5003 % 49957
+    return [STR_SIG_LENGTH + EDGE_SIG_INTERVAL_BASE * interval + seed % EDGE_SIG_INTERVAL_BASE]
+
+
+def contribution_bits(neighbor: str, pre_id: int, is_out: bool) -> list[int]:
+    return str_bits(neighbor) + edge_bits(pre_id, is_out)
+
+
+def pack_bits(positions: list[int]) -> list[int]:
+    """positions -> SIG_WORDS little-endian int64 words (two's complement)."""
+    words = [0] * SIG_WORDS
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def contribution_bits_udf(
+    neighbor: pd.Series, pre_id: pd.Series, is_out: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            contribution_bits(n, int(p), bool(o))
+            for n, p, o in zip(neighbor, pre_id, is_out)
+        ]
+    )
+
+
+def sig_words_from_bits(df, key_cols: list[str], bits_col: str = "bits"):
+    """(keys..., bits array<int>) -> (keys..., sig array<long>[SIG_WORDS]).
+
+    JVM-side aggregation: posexplode bit positions, OR per (keys, word) with
+    ``bit_or(shiftleft(1, bit%64))``, then reassemble the fixed-width word
+    array via a word->value map. Map-side partial aggregation applies, so
+    the shuffle carries at most SIG_WORDS rows per key.
+    """
+    # 64-entry bit-mask lookup (shiftleft needs a literal count); entry 64
+    # is the sign bit as a negative long
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    exploded = df.select(
+        *key_cols, F.explode(bits_col).alias("pos")
+    ).select(
+        *key_cols,
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.element_at(masks, (F.col("pos") % 64).cast("int") + 1).alias("mask"),
+    )
+    per_word = exploded.groupBy(*key_cols, "word").agg(
+        F.bit_or("mask").alias("val")
+    )
+    words_map = per_word.groupBy(*key_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(SIG_WORDS - 1))
+    return words_map.select(
+        *key_cols,
+        F.transform(idx, lambda w: F.coalesce(F.col("m")[w], F.lit(0).cast("long"))).alias("sig"),
+    )
+
+
+def sig_or(df, key_cols: list[str], sig_col: str = "sig"):
+    """OR-aggregate signatures across rows per key (VS*-tree parent analog:
+    VSTree/VSTree.cpp:146-219 builds parents as child ORs)."""
+    exploded = df.select(
+        *key_cols, F.posexplode(sig_col).alias("word", "val")
+    )
+    per_word = exploded.groupBy(*key_cols, "word").agg(F.bit_or("val").alias("val"))
+    words_map = per_word.groupBy(*key_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "val"))).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(SIG_WORDS - 1))
+    return words_map.select(
+        *key_cols,
+        F.transform(idx, lambda w: F.coalesce(F.col("m")[w], F.lit(0).cast("long"))).alias(sig_col),
+    )
+
+
+def covers(data_sig: Column, query_sig: Column) -> Column:
+    """Signature containment: data covers query iff every query bit is set
+    (SigEntry::cover, Signature/SigEntry.h:31-32). Word-wise AND/compare."""
+    return F.forall(
+        F.zip_with(data_sig, query_sig, lambda d, q: d.bitwiseAND(q) == q),
+        lambda x: x,
+    )

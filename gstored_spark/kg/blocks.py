@@ -1,0 +1,115 @@
+"""Stage 7: adjacency blocks + vertex signatures per partition.
+
+The reference's 12 adjacency B+-trees (KVstore/KVstore.h:265-293) collapse
+into two columnar layouts per partition:
+  s2po analog: out = sort_array(collect_list(struct(p, o)))  per (part, s)
+  o2ps analog: in  = sort_array(collect_list(struct(p, s)))  per (part, o)
+sorted arrays give the same binary-searchable (p -> neighbors) access the
+reference gets from sp2o/op2s (values "sorted int arrays",
+Database/Database.cpp:1189); parquet row-group stats + partition dirs give
+the partition pruning the VS*-tree gave.
+
+Signatures: per-vertex 800-bit bitmap from the exact reference formulas
+(functions/signature.py, Signature/Signature.cpp:34-76,112-155), built from
+the *string* triples exactly like the reference's build pass 1
+(Database.cpp:1543-1562 ORs signature bits while dictionary-encoding);
+per-partition OR-aggregate replaces the VS*-tree root (VSTree.cpp:146-219).
+
+Salting: adjacency groupBys pre-aggregate on (part, s, salt) then merge per
+(part, s) — the two-level shape that keeps one hot subject from pinning a
+single reducer (kg/partition.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gstored_spark.functions.signature import (
+    contribution_bits_udf,
+    sig_or,
+    sig_words_from_bits,
+)
+
+
+def adjacency(routed: DataFrame, internal: DataFrame, salt_col: str | None = None) -> DataFrame:
+    """routed id-triples -> adjacency(part, v, is_internal, out, in).
+
+    ``out`` = sorted array<struct<p,o>> (s2po), ``in`` = sorted
+    array<struct<p,s>> (o2ps). With ``salt_col`` present, aggregation is
+    two-level: per-salt partial collect, then flatten+merge per vertex.
+    """
+    if salt_col:
+        out_part = routed.groupBy("part", F.col("s").alias("v"), F.col(salt_col)).agg(
+            F.collect_list(F.struct(F.col("p"), F.col("o"))).alias("chunk")
+        )
+        out_edges = out_part.groupBy("part", "v").agg(
+            F.sort_array(F.flatten(F.collect_list("chunk"))).alias("out")
+        )
+    else:
+        out_edges = routed.groupBy("part", F.col("s").alias("v")).agg(
+            F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("o")))).alias("out")
+        )
+    in_edges = routed.filter("o_is_entity").groupBy("part", F.col("o").alias("v")).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("s")))).alias("in")
+    )
+    adj = out_edges.join(in_edges, ["part", "v"], "full_outer")
+    adj = adj.join(internal, ["part", "v"], "left")
+    return adj.select(
+        "part",
+        "v",
+        F.coalesce("is_internal", F.lit(False)).alias("is_internal"),
+        F.coalesce("out", F.array().cast("array<struct<p:long,o:long>>")).alias("out"),
+        F.coalesce("in", F.array().cast("array<struct<p:long,s:long>>")).alias("in"),
+    )
+
+
+def signature_contributions(triples: DataFrame, pred_dict: DataFrame) -> DataFrame:
+    """canonical string triples + pred ids -> (v_term, bits array<int>).
+
+    Subject vertex: bits of the *object string* neighbor + out-edge
+    predicate bit; entity object vertex: bits of the subject string + an
+    in-edge predicate bit (Signature.cpp encodeStr2Entity applies to both
+    subjects' and objects' neighborhoods; direction only affects the edge
+    interval)."""
+    t = triples.join(
+        F.broadcast(pred_dict.withColumnRenamed("term", "pred").withColumnRenamed("id", "pid")),
+        "pred",
+    )
+    sub = t.select(
+        F.col("subj").alias("v_term"),
+        contribution_bits_udf(F.col("obj"), F.col("pid"), F.lit(True)).alias("bits"),
+    )
+    obj = t.filter("o_is_entity").select(
+        F.col("obj").alias("v_term"),
+        contribution_bits_udf(F.col("subj"), F.col("pid"), F.lit(False)).alias("bits"),
+    )
+    return sub.unionByName(obj)
+
+
+def vertex_signatures(
+    triples: DataFrame, pred_dict: DataFrame, entity_dict: DataFrame
+) -> DataFrame:
+    """-> signatures(v long, sig array<long>[13]) for entity vertices."""
+    contrib = signature_contributions(triples, pred_dict)
+    sigs = sig_words_from_bits(contrib, ["v_term"], "bits")
+    return sigs.join(
+        entity_dict.withColumnRenamed("term", "v_term").withColumnRenamed("id", "v"),
+        "v_term",
+    ).select("v", "sig")
+
+
+def partitioned_signatures(signatures: DataFrame, internal: DataFrame) -> DataFrame:
+    """signatures placed per partition -> (part, v, sig)."""
+    return internal.select("part", "v").join(signatures, "v")
+
+
+def partition_signature(part_sigs: DataFrame) -> DataFrame:
+    """OR-aggregate per partition -> part_sig(part, sig) — VS*-tree root
+    analog used for whole-partition pruning before a BGP join."""
+    return sig_or(part_sigs, ["part"], "sig")
+
+
+def write_blocks(adj: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """Materialize adjacency blocks partitioned by graph partition — the
+    parquet layout downstream BGP matching scans with partition pruning."""
+    adj.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")

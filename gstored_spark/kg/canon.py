@@ -1,0 +1,124 @@
+"""Stage 4: canonicalization — alias resolution via MinHash-LSH blocking +
+connected components over the similarity-edge DataFrame.
+
+The CC fixpoint is the Spark reincarnation of the reference's
+assembly-until-fully-tagged loop (Util/Util.cpp:1777-1858 iterative
+hash-joins driven from Main/gqueryD.cpp:405-440); lineage is checkpointed
+per iteration (operators/cc.py).
+
+Flow (all JVM-side except nothing — there is no Python here):
+  distinct entity surfaces
+    -> char-3-gram shingles -> MinHash (k=12) -> LSH bands (4)
+    -> candidate pairs (bucket self-join) -> exact-Jaccard verify (>= tau)
+    -> connected components -> canonical representative per component
+       = min *fully-normalized* member (deterministic at any parallelism)
+    -> surface -> canonical IRI map, applied to the triple stream.
+
+Literals are normalized to the reference's lexical forms
+(Parser/RDFParser.cpp:36-63): entities get <iri>, plain literals get
+'"..."@en'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+import pandas as pd
+
+from gstored_spark.operators.cc import components_with_singletons
+from gstored_spark.operators.dedup import (
+    char_shingles,
+    jaccard_verify,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from gstored_spark.sources.corpus import normalize_mention
+
+
+@pandas_udf(StringType())
+def normalize_mention_udf(s: pd.Series) -> pd.Series:
+    return s.map(normalize_mention)
+
+
+def entity_surfaces(linked: DataFrame) -> DataFrame:
+    return (
+        linked.select(F.col("subj_surface").alias("surface"))
+        .unionAll(
+            linked.filter("o_is_entity").select(F.col("obj_surface").alias("surface"))
+        )
+        .distinct()
+    )
+
+
+def surface_components(
+    surfaces: DataFrame,
+    tau: float = 0.5,
+    k: int = 12,
+    bands: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """surfaces(surface) -> (surface, component) where component is the min
+    similar surface (string min over the cluster)."""
+    shingled = surfaces.select(
+        F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = minhash_signature(shingled, "surface", "shingles", k)
+    cand = lsh_candidate_pairs(lsh_band_keys(sig, "surface", k, bands), "surface")
+    edges = jaccard_verify(cand, shingled, "surface", threshold=tau).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return components_with_singletons(
+        edges,
+        surfaces.select(F.col("surface").alias("vertex")),
+        checkpoint_dir=checkpoint_dir,
+    ).select(F.col("vertex").alias("surface"), "component")
+
+
+def canonical_map(
+    surfaces: DataFrame, tau: float = 0.5, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """(surface, canonical_iri): representative = min normalized member of
+    the surface's component — parallelism-independent (SURVEY §7 hard-part
+    1: sort-based tie-breaks, no monotonically_increasing_id)."""
+    comps = surface_components(surfaces, tau=tau, checkpoint_dir=checkpoint_dir)
+    normed = comps.withColumn("norm", normalize_mention_udf(F.col("surface")))
+    reps = normed.groupBy("component").agg(F.min("norm").alias("rep_norm"))
+    return (
+        normed.join(reps, "component")
+        .select(
+            "surface",
+            F.concat(
+                F.lit("<ent:"), F.regexp_replace("rep_norm", " ", "_"), F.lit(">")
+            ).alias("canonical_iri"),
+        )
+    )
+
+
+def canonical_triples(
+    linked: DataFrame, tau: float = 0.5, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """linked surface triples -> canonical string triples
+    (subj, pred, obj, o_is_entity, url) with reference lexical forms."""
+    cmap = canonical_map(entity_surfaces(linked), tau=tau, checkpoint_dir=checkpoint_dir)
+    t = linked.join(
+        cmap.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
+            "canonical_iri", "subj"
+        ),
+        "subj_surface",
+    )
+    t = t.join(
+        cmap.withColumnRenamed("surface", "obj_surface").withColumnRenamed(
+            "canonical_iri", "obj_iri"
+        ),
+        "obj_surface",
+        "left",
+    )
+    obj = F.when(F.col("o_is_entity"), F.col("obj_iri")).otherwise(
+        F.concat(F.lit('"'), F.col("obj_surface"), F.lit('"@en'))
+    )
+    return t.select(
+        "subj", "pred", obj.alias("obj"), "o_is_entity", "url"
+    ).distinct()

@@ -1,0 +1,131 @@
+"""Stage 5: dictionary encoding — dense int IDs in three namespaces.
+
+Mirrors the reference's ID allocation (Database/Database.cpp:1444-1504):
+entities get [0, 10^9), literals [10^9, 2*10^9) (LITERAL_FIRST_ID,
+Util/Util.h:184-186 — "a literal is distinguished from an entity purely by
+ID range", Database.cpp:3889-3894), predicates a separate small namespace
+that is **broadcast** (predicate count is tiny relative to terms — the same
+assumption behind the reference's 5-interval predicate encoding,
+Signature/Signature.h:33-35).
+
+Dense-ID assignment must be deterministic at ANY parallelism (SURVEY §7
+hard-part 1), so it is *position in the global sort order*:
+  repartitionByRange(term) -> sortWithinPartitions(term)
+  -> per-partition counts -> cumulative offsets (driver, #partitions rows)
+  -> offset + local row index via one mapInPandas pass.
+Range boundaries may vary with sampling/parallelism, but the global order —
+and therefore every assigned ID — does not. This is the Spark-native
+replacement for a single-window row_number() (which would serialize through
+one task) and for monotonically_increasing_id (which is not deterministic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+LITERAL_FIRST_ID = 1000 * 1000 * 1000  # Util/Util.h:184-186
+
+
+def assign_dense_ids(
+    terms: DataFrame, col: str, offset: int = 0, buckets: int | None = None
+) -> DataFrame:
+    """terms (one string column, assumed distinct) -> (col, id) with ids
+    offset..offset+n-1 assigned in lexicographic order."""
+    spark = terms.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism
+    srt = (
+        terms.select(col)
+        .repartitionByRange(buckets, F.col(col))
+        .sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    srt = srt.persist()
+    try:
+        counts = {
+            r["_pid"]: r["n"]
+            for r in srt.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = offset
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nxt = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                if nxt is None:
+                    nxt = offsets[pid]
+                ids = range(nxt, nxt + len(pdf))
+                nxt += len(pdf)
+                out = pd.DataFrame({col: pdf[col].values, "id": list(ids)})
+                yield out
+
+        out = srt.mapInPandas(number, schema=f"{col} string, id long")
+        # materialize before unpersist so the upstream sort runs exactly once
+        out = out.localCheckpoint(eager=True)
+    finally:
+        srt.unpersist()
+    return out
+
+
+def build_dictionaries(triples: DataFrame, buckets: int | None = None):
+    """canonical triples -> (entity_dict, literal_dict, pred_dict DataFrames).
+
+    entity ids in [0, 1e9), literal ids in [1e9, 2e9), predicate ids dense
+    from 0 in their own namespace."""
+    entities = (
+        triples.select(F.col("subj").alias("term"))
+        .unionAll(triples.filter("o_is_entity").select(F.col("obj").alias("term")))
+        .distinct()
+    )
+    literals = (
+        triples.filter(~F.col("o_is_entity")).select(F.col("obj").alias("term")).distinct()
+    )
+    preds = triples.select(F.col("pred").alias("term")).distinct()
+    entity_dict = assign_dense_ids(entities, "term", 0, buckets)
+    literal_dict = assign_dense_ids(literals, "term", LITERAL_FIRST_ID, buckets)
+    # predicates: tiny by assumption -> driver-side sorted enumeration
+    pred_terms = sorted(r["term"] for r in preds.collect())
+    spark = triples.sparkSession
+    pred_dict = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(pred_terms)], schema="term string, id long"
+    )
+    return entity_dict, literal_dict, pred_dict
+
+
+def encode_triples(
+    triples: DataFrame,
+    entity_dict: DataFrame,
+    literal_dict: DataFrame,
+    pred_dict: DataFrame,
+) -> DataFrame:
+    """-> id_triples(s long, p long, o long, o_is_entity boolean).
+
+    Predicate dictionary is broadcast; term dictionaries join on the term
+    (shuffle joins at scale — both sides hash-partition on the term)."""
+    term_dict = entity_dict.unionByName(literal_dict)
+    t = triples.join(
+        term_dict.withColumnRenamed("term", "subj").withColumnRenamed("id", "s"), "subj"
+    )
+    t = t.join(F.broadcast(pred_dict.withColumnRenamed("term", "pred").withColumnRenamed("id", "p")), "pred")
+    t = t.join(
+        term_dict.withColumnRenamed("term", "obj").withColumnRenamed("id", "o"), "obj"
+    )
+    return t.select("s", "p", "o", "o_is_entity")
+
+
+def decode_ids(df: DataFrame, id_col: str, term_dict: DataFrame, out_col: str) -> DataFrame:
+    """id -> string materialization (the StringIndex analog,
+    StringIndex/StringIndex.h:15-116): a join against the dictionary."""
+    d = term_dict.select(
+        F.col("id").alias(id_col), F.col("term").alias(out_col)
+    )
+    return df.join(d, id_col)

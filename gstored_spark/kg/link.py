@@ -1,0 +1,116 @@
+"""Stage 3: mention detection + candidate entity-link scoring.
+
+Mentions come from the triple extractor; this stage resolves each distinct
+surface form against a broadcast alias dictionary (built from the corpus's
+own name statements — the web analog of anchor-text dictionaries) with a
+deterministic top-1 score:
+
+  score(mention, candidate) = char-3-gram Jaccard, tie-break candidate asc.
+
+Scale shape: scoring joins the *distinct surface forms* (tiny vs. the
+mention stream) against the dictionary on a lowercase blocking key, so the
+expensive string math runs once per surface form, not once per mention; the
+dictionary is broadcast (predicates/aliases are small relative to triples,
+same rationale the reference uses for predicate encoding,
+Signature/Signature.cpp:56-61). No Python: Jaccard on char-3-gram arrays is
+JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from gstored_spark.operators.dedup import char_shingles
+from gstored_spark.sources.corpus import PRED_NAME
+
+
+def light_norm(col) -> "F.Column":
+    """Lowercase + collapse whitespace. Deliberately weaker than full
+    normalization — hyphen/initial variants survive so canonicalization has
+    real work to do."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def alias_dictionary(mention_triples: DataFrame) -> DataFrame:
+    """(alias, canonical): aliases observed via name statements — the
+    surface form that *stated* the name maps to the stated canonical name —
+    plus the identity alias of each canonical name."""
+    names = mention_triples.filter(F.col("pred") == PRED_NAME)
+    stated = names.select(
+        light_norm(F.col("subj_mention")).alias("alias"),
+        F.col("obj_mention").alias("canonical"),
+    )
+    identity = names.select(
+        light_norm(F.col("obj_mention")).alias("alias"),
+        F.col("obj_mention").alias("canonical"),
+    )
+    return stated.unionByName(identity).distinct()
+
+
+def link_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
+    """surfaces(surface) -> (surface, linked): dictionary hit replaces the
+    surface with its canonical name; misses keep the surface. Top-1 among
+    competing candidates by (jaccard desc, canonical asc)."""
+    s = surfaces.select("surface", light_norm(F.col("surface")).alias("alias"))
+    joined = s.join(F.broadcast(aliases), "alias", "left")
+    scored = joined.withColumn(
+        "jaccard",
+        F.when(F.col("canonical").isNull(), F.lit(-1.0)).otherwise(
+            F.size(
+                F.array_intersect(
+                    char_shingles(F.col("surface")), char_shingles(F.col("canonical"))
+                )
+            )
+            / F.size(
+                F.array_union(
+                    char_shingles(F.col("surface")), char_shingles(F.col("canonical"))
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.col("jaccard").desc(), F.col("canonical").asc_nulls_last()
+    )
+    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top1.select(
+        "surface", F.coalesce("canonical", "surface").alias("linked")
+    )
+
+
+def linked_triples(mention_triples: DataFrame) -> DataFrame:
+    """mention triples -> triples with linked subject/object surfaces.
+    Literals (o_is_entity = false) pass through untouched."""
+    aliases = alias_dictionary(mention_triples)
+    surfaces = (
+        mention_triples.select(F.col("subj_mention").alias("surface"))
+        .unionAll(
+            mention_triples.filter("o_is_entity").select(
+                F.col("obj_mention").alias("surface")
+            )
+        )
+        .distinct()
+    )
+    links = link_surfaces(surfaces, aliases)
+    # no broadcast hint on the surface map: it scales with entity count, so
+    # AQE decides (broadcasts at test scale, shuffle-joins at web scale)
+    t = mention_triples.join(
+        links.withColumnRenamed("surface", "subj_mention")
+        .withColumnRenamed("linked", "subj_linked"),
+        "subj_mention",
+    )
+    t = t.join(
+        links.withColumnRenamed("surface", "obj_mention")
+        .withColumnRenamed("linked", "obj_linked"),
+        "obj_mention",
+        "left",
+    )
+    return t.select(
+        F.col("subj_linked").alias("subj_surface"),
+        "pred",
+        F.when(F.col("o_is_entity"), F.col("obj_linked"))
+        .otherwise(F.col("obj_mention"))
+        .alias("obj_surface"),
+        "o_is_entity",
+        "url",
+    )

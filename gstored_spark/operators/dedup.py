@@ -1,0 +1,223 @@
+"""Deduplication / near-duplicate detection over a text corpus.
+
+All hot-path computation is JVM-side (built-in functions over exploded
+shingle rows); there is deliberately **no Python in any of these operators**
+— md5 is used as the hash family everywhere because Spark and DuckDB produce
+identical digests, which makes MinHash/LSH results verifiable against an
+ANSI-SQL oracle (a property xxhash64 or Python hashes would not have).
+
+Operators:
+  - exact_dedup: hash-groupBy on normalized text.
+  - word_shingles / char_shingles: n-gram shingling, JVM higher-order funcs.
+  - minhash_signature: k independent min-hashes; "hash i of shingle s" is
+    md5(i || '|' || s), minimized lexicographically (md5 hex compares like
+    the 128-bit value).
+  - lsh_band_keys / lsh_candidate_pairs: banding -> bucket self-join.
+  - jaccard_verify: exact n-gram Jaccard on candidate pairs
+    (array_intersect/array_union sizes).
+  - minhash_dedup: pairs -> connected components -> duplicate clusters.
+  - simhash_hex: 64-bit SimHash as a 16-hex-digit string, bit-portable.
+
+At 100 TB: shingling/minhashing is map-only; the only shuffles are the
+band-key groupBy (bounded by bands*docs rows) and the pair verification
+join. Band buckets of hub-popular content are the skew risk — buckets above
+``max_bucket`` are dropped exactly like production LSH pipelines drop
+degenerate bands (boilerplate), which also bounds the pair blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gstored_spark.operators.cc import components_with_singletons
+
+
+def normalized_text(col) -> "F.Column":
+    """Lowercase, collapse whitespace — the canonical form for exact dedup
+    and fingerprints. Pure built-ins, identical semantics in DuckDB SQL:
+    lower + regexp_replace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per identical normalized text."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def tokens(col) -> "F.Column":
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col, n: int = 3) -> "F.Column":
+    """Word n-gram shingles as array<string> (distinct)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def char_shingles(col, n: int = 3) -> "F.Column":
+    s = normalized_text(col)
+    length = F.greatest(F.length(s) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), length)
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, n)))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, shingles_col: str = "shingles", k: int = 8
+) -> DataFrame:
+    """-> (id, mh_0..mh_{k-1}): per-seed minimum of md5(seed|shingle).
+    Map-side partial min applies; shuffle is k strings per id."""
+    ex = df.select(F.col(id_col), F.explode(shingles_col).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """-> (id, band, key): band key = md5(band || joined minhashes)."""
+    r = k // bands
+    outs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        outs.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("key"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame, id_col: str, max_bucket: int = 64
+) -> DataFrame:
+    """Bucket self-join -> distinct (a, b) with a < b. Buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard + join skew bound)."""
+    counts = band_keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
+    bk = band_keys.join(counts, ["band", "key"]).filter(F.col("bsz") <= max_bucket)
+    a = bk.select("band", "key", F.col(id_col).alias("a"))
+    b = bk.select("band", "key", F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, id_col: str,
+    shingles_col: str = "shingles", threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs; keeps pairs >= threshold."""
+    sa = shingled.select(F.col(id_col).alias("a"), F.col(shingles_col).alias("sh_a"))
+    sb = shingled.select(F.col(id_col).alias("b"), F.col(shingles_col).alias("sh_b"))
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, k: int = 8, bands: int = 4, threshold: float = 0.7,
+    char_grams: bool = False,
+) -> DataFrame:
+    """Full near-dup pipeline -> (vertex=id, component) duplicate clusters."""
+    sh = char_shingles(F.col(text_col), n) if char_grams else word_shingles(F.col(text_col), n)
+    shingled = df.select(F.col(id_col), sh.alias("shingles")).filter(F.size("shingles") > 0)
+    sig = minhash_signature(shingled, id_col, "shingles", k)
+    cand = lsh_candidate_pairs(lsh_band_keys(sig, id_col, k, bands), id_col)
+    edges = jaccard_verify(cand, shingled, id_col, threshold=threshold).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return components_with_singletons(edges, df.select(F.col(id_col).alias("vertex")))
+
+
+# ---- SimHash ---------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_hex(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (id, simhash: 16-hex-char string).
+
+    64-bit SimHash over the document's distinct tokens (weight 1): bit b is
+    1 iff sum over tokens of (+1 if bit b of md5(token) else -1) >= 0.
+    Bit b lives in hex digit b//4 of the digest, MSB-first within the digit
+    — pure string/integer ops, so a DuckDB oracle reproduces it exactly.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.md5("tok"))
+    )
+    contrib = toks.select(
+        F.col(id_col), "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    )
+    digit = F.substring(F.col("h"), ((F.col("b") / 4).cast("int") + F.lit(1)), F.lit(1))
+    val = F.conv(digit, 16, 10).cast("int")
+    shift = (F.lit(3) - (F.col("b") % 4)).cast("int")
+    denom = F.element_at(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)), shift + 1)
+    bit = (val / denom).cast("int") % 2
+    contrib = contrib.withColumn("v", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+    bits = contrib.groupBy(id_col, "b").agg((F.sum("v") >= 0).cast("int").alias("bit"))
+    per_digit = (
+        bits.withColumn("digit_idx", (F.col("b") / 4).cast("int"))
+        .withColumn(
+            "weight",
+            F.element_at(
+                F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)),
+                (F.col("b") % 4).cast("int") + 1,
+            ),
+        )
+        .groupBy(id_col, "digit_idx")
+        .agg(F.sum(F.col("bit") * F.col("weight")).cast("int").alias("dv"))
+        .withColumn("ch", F.substring(F.lit(_HEX), F.col("dv") + 1, F.lit(1)))
+    )
+    assembled = per_digit.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("digit_idx", "ch"))).alias("m")
+    )
+    idx = F.sequence(F.lit(0), F.lit(15))
+    return assembled.select(
+        id_col,
+        F.array_join(F.transform(idx, lambda i: F.col("m")[i]), "").alias("simhash"),
+    )
+
+
+def hamming_hex(a, b) -> "F.Column":
+    """Hamming distance between two 16-hex-digit simhashes (popcount of the
+    per-digit XOR via a 16-entry nibble-popcount lookup)."""
+    pc = F.array(*[F.lit(bin(i).count("1")) for i in range(16)])
+    idx = F.sequence(F.lit(1), F.lit(16))
+    xors = F.transform(
+        idx,
+        lambda i: F.element_at(
+            pc,
+            F.conv(F.substring(a, i, F.lit(1)), 16, 10)
+            .cast("int")
+            .bitwiseXOR(F.conv(F.substring(b, i, F.lit(1)), 16, 10).cast("int"))
+            + 1,
+        ),
+    )
+    return F.aggregate(xors, F.lit(0), lambda acc, x: acc + x)

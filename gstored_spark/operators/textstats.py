@@ -1,0 +1,170 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything except the rolling-hash winnowing fingerprint is pure built-in
+column expressions (whole-stage codegen, zero Python); each has an exact
+ANSI-SQL twin used as the DuckDB oracle. The winnowing fingerprint is a
+vectorized pandas UDF (Arrow-batched) because it is inherently sequential
+per document — it is verified by a pure-Python reference implementation in
+the test suite instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from gstored_spark.operators.dedup import normalized_text, tokens
+
+# tiny deterministic stopword marker lists per language (shared with the SQL
+# oracle — keep in sync with __spark_entry__.oracle_sql)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "was", "with"],
+    "de": ["und", "der", "die", "das", "mit", "von", "ist"],
+    "fr": ["le", "la", "les", "des", "et", "dans", "pour"],
+    "es": ["el", "los", "las", "una", "con", "por", "que"],
+}
+
+
+def _marker_hits(toks, markers: list[str]) -> "F.Column":
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram/stopword-heuristic language ID -> (id, lang_pred, score).
+
+    Picks the language with the most marker-token hits; ties break
+    alphabetically ('de' < 'en' < 'es' < 'fr'), 'und' (undetermined) when
+    zero hits everywhere.
+    """
+    toks = tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[_marker_hits(toks, m).alias(f"hits_{lang}") for lang, m in sorted(LANG_MARKERS.items())],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col, pred.alias("lang_pred"), best.cast("int").alias("score")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword heuristics -> one row per doc:
+    (id, n_chars, n_tokens, mean_token_len, stopword_ratio, punct_ratio,
+    quality). All ratios are exact integer divisions in double, rounded to
+    6 — bit-identical across engines for identical inputs."""
+    s = normalized_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(s)
+    n_tokens = F.size(toks)
+    stop_hits = _marker_hits(toks, LANG_MARKERS["en"])
+    n_punct = n_chars - F.length(F.regexp_replace(s, r"[^\w\s]", ""))
+    mean_tok = F.round((n_chars - (n_tokens - 1)) / n_tokens, 6)
+    stop_ratio = F.round(stop_hits / n_tokens, 6)
+    punct_ratio = F.round(n_punct / n_chars, 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 2.0
+        + (F.lit(1.0) - punct_ratio) * 0.1,
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (word chunks of <=4
+    chars + standalone non-word marks), both as built-in regexp ops."""
+    s = normalized_text(F.col(text_col))
+    ws = F.size(tokens(F.col(text_col)))
+    # BPE-ish: every word contributes ceil(len/4) subword units; punctuation
+    # marks are one unit each.
+    toks = tokens(F.col(text_col))
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.regexp_replace(t, r"[^\w]", "")) / 4.0).cast("long")
+        + F.length(F.regexp_replace(t, r"[\w]", "")).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        subwords.alias("bpe_tokens"),
+    )
+
+
+def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """md5 fingerprint of the normalized text (engine-portable)."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    )
+
+
+# ---- winnowing rolling-hash fingerprint (pandas UDF; tested vs pure-python)
+
+_B = 1000003
+_M = (1 << 61) - 1
+_WINDOW = 8
+_GRAM = 5
+
+
+def winnow_fingerprint(text: str) -> list[int]:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram rolling
+    hashes, keep the min of each sliding window (rightmost min), dedupe."""
+    s = " ".join(text.lower().split())
+    if len(s) < _GRAM:
+        return []
+    hs = []
+    h = 0
+    power = pow(_B, _GRAM - 1, _M)
+    for i, ch in enumerate(s):
+        h = (h * _B + ord(ch)) % _M
+        if i >= _GRAM:
+            h = (h - ord(s[i - _GRAM]) * power * _B) % _M
+        if i >= _GRAM - 1:
+            hs.append(h)
+    out = []
+    last = -1
+    for w in range(len(hs) - _WINDOW + 1):
+        window = hs[w : w + _WINDOW]
+        m = min(window)
+        idx = w + max(i for i, v in enumerate(window) if v == m)
+        if idx != last:
+            out.append(m)
+            last = idx
+    seen = set()
+    dedup = []
+    for v in out:
+        if v not in seen:
+            seen.add(v)
+            dedup.append(v)
+    return dedup
+
+
+@pandas_udf(ArrayType(LongType()))
+def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: winnow_fingerprint(t) if t is not None else [])
+
+
+def winnowed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), winnow_fingerprint_udf(F.col(text_col)).alias("winnow_fp")
+    )

@@ -1,0 +1,179 @@
+"""BGP (basic graph pattern) matching compiled to DataFrame joins.
+
+The reference encodes a BGP as a query graph and expands a binding table one
+vertex at a time with a greedy order (Join::multi_join,
+Database/Join.cpp:1418-1633; scoring Join.cpp:71-77 `score_node(degree,
+|cand|)`, frontier choice `choose_next_node` 961-998). Here each triple
+pattern becomes a filtered self-view of the triples DataFrame and the
+binding table grows by equi-joins; the greedy constant-first order seeds
+Catalyst with a selective join tree and AQE re-orders/broadcasts at runtime
+(SURVEY §4: AQE replaces the hand-rolled ordering).
+
+Matching semantics are subgraph *homomorphism* (two vars may bind the same
+vertex), exactly the reference's (Util/Util.h:9-11 note).
+
+Also here: a minimal parser for the reference's query files
+(example/query.txt, example/query_2.txt — `select ?vars where { s p o. }`)
+and the SPARQL solution modifiers the single-node reference path supports
+(DISTINCT / ORDER / LIMIT / OFFSET, Query/GeneralEvaluation.cpp:2859-2996)
+as trivial DataFrame calls.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    s: str  # "?var" or constant term
+    p: str
+    o: str
+
+    def vars(self) -> set[str]:
+        return {t for t in (self.s, self.p, self.o) if t.startswith("?")}
+
+    def n_constants(self) -> int:
+        return 3 - len(self.vars())
+
+
+def parse_query(text: str) -> tuple[list[str], list[TriplePattern]]:
+    """Parse the reference's query format: ``select ?a ?b where { ... }``
+    with whitespace-separated ``s p o.`` patterns (QueryParser surface for
+    plain BGP SELECTs, README.md:41)."""
+    m = re.search(r"select\s+(.*?)\s+where\s*\{(.*)\}", text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise ValueError("only 'select ... where { ... }' BGP queries supported")
+    proj = m.group(1).split()
+    body = m.group(2)
+    patterns = []
+    for stmt in body.split("."):
+        toks = stmt.split()
+        if not toks:
+            continue
+        if len(toks) != 3:
+            raise ValueError(f"bad triple pattern: {stmt!r}")
+        patterns.append(TriplePattern(*toks))
+    return proj, patterns
+
+
+def _pattern_df(triples: DataFrame, pat: TriplePattern, idx: int) -> tuple[DataFrame, set[str]]:
+    """One filtered/renamed view of the triples table per pattern. Constant
+    filters are pushed into the scan by Catalyst (PushedFilters)."""
+    df = triples
+    cols = []
+    for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+        if term.startswith("?"):
+            cols.append(F.col(role).alias(term[1:]))
+        else:
+            df = df.filter(F.col(role) == term)
+    out = df.select(*cols) if cols else df.select(F.lit(1).alias(f"_const_{idx}"))
+    # a pattern with a repeated var (?x p ?x) needs the equality applied
+    names = [t[1:] for t in (pat.s, pat.p, pat.o) if t.startswith("?")]
+    if len(names) != len(set(names)):
+        # rebuild with positional aliases then filter equal pairs
+        df2 = triples
+        sel, seen, conds = [], {}, []
+        for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+            if term.startswith("?"):
+                v = term[1:]
+                if v in seen:
+                    conds.append((seen[v], role))
+                else:
+                    seen[v] = role
+                    sel.append(F.col(role).alias(v))
+            else:
+                df2 = df2.filter(F.col(role) == term)
+        for a, b in conds:
+            df2 = df2.filter(F.col(a) == F.col(b))
+        out = df2.select(*sel)
+    return out, pat.vars()
+
+
+def greedy_order(patterns: list[TriplePattern]) -> list[int]:
+    """Constant-first, connected-next ordering (Join.cpp:71-77,961-998
+    heuristic: seed with the most-selective pattern, grow along shared
+    vars, prefer selective + well-connected)."""
+    remaining = set(range(len(patterns)))
+    order: list[int] = []
+    bound: set[str] = set()
+    while remaining:
+        def key(i: int):
+            shared = len(patterns[i].vars() & bound)
+            return (1 if (order and shared > 0) else 0, patterns[i].n_constants(), shared, -i)
+
+        nxt = max(remaining, key=key)
+        order.append(nxt)
+        bound |= patterns[nxt].vars()
+        remaining.remove(nxt)
+    return order
+
+
+def match_bgp(
+    triples: DataFrame, patterns: list[TriplePattern], projection: list[str] | None = None
+) -> DataFrame:
+    """triples(subj, pred, obj) x BGP -> bindings DataFrame (one column per
+    var, no '?' prefix). Disconnected components become cross joins (the
+    reference splits them into separate BasicQueries then products,
+    GeneralEvaluation.cpp:494-550)."""
+    order = greedy_order(patterns)
+    acc: DataFrame | None = None
+    acc_vars: set[str] = set()
+    for idx in order:
+        pdf, pvars = _pattern_df(triples, patterns[idx], idx)
+        if acc is None:
+            acc, acc_vars = pdf, pvars
+            continue
+        shared = [v[1:] for v in (acc_vars & pvars)]
+        if shared:
+            acc = acc.join(pdf, shared, "inner")
+        else:
+            acc = acc.crossJoin(pdf)
+        acc_vars |= pvars
+    assert acc is not None, "empty BGP"
+    drop = [c for c in acc.columns if c.startswith("_const_")]
+    if drop:
+        acc = acc.drop(*drop)
+    if projection:
+        acc = acc.select(*[v.lstrip("?") for v in projection])
+    return acc
+
+
+def run_query_text(triples: DataFrame, query_text: str, distinct: bool = False) -> DataFrame:
+    proj, patterns = parse_query(query_text)
+    out = match_bgp(triples, patterns, proj)
+    return out.distinct() if distinct else out
+
+
+def is_star(patterns: list[TriplePattern]) -> bool:
+    """Star check (QueryTree::checkStar, Query/QueryTree.cpp:559-582): all
+    patterns share one subject var and every object is distinct var/const.
+    Star queries need no assembly under crossing-edge replication
+    (Database.cpp:661-671) — exposed for plan annotations/tests."""
+    if not patterns:
+        return False
+    centers = {p.s for p in patterns}
+    return len(centers) == 1 and next(iter(centers)).startswith("?")
+
+
+def modifiers(
+    df: DataFrame,
+    distinct: bool = False,
+    order_by: list[tuple[str, bool]] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """DISTINCT / ORDER BY / OFFSET / LIMIT (GeneralEvaluation.cpp:2859-2996;
+    external sort + stream drain become Spark's sort + limit)."""
+    if distinct:
+        df = df.distinct()
+    if order_by:
+        df = df.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by])
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
