@@ -56,20 +56,35 @@ def entity_surfaces(linked: DataFrame) -> DataFrame:
 def surface_components(
     surfaces: DataFrame,
     tau: float = 0.5,
-    k: int = 12,
-    bands: int = 4,
+    k: int = 16,
+    bands: int = 8,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """surfaces(surface) -> (surface, component) where component is the min
-    similar surface (string min over the cluster)."""
+    similar surface (string min over the cluster).
+
+    Two blocking channels (multi-blocking ER): (1) exact full-normalization
+    key — surfaces that normalize identically are connected outright;
+    (2) MinHash-LSH bands (k=16, r=2 -> high recall at tau~0.5) verified by
+    exact Jaccard."""
     shingled = surfaces.select(
         F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
     sig = minhash_signature(shingled, "surface", "shingles", k)
     cand = lsh_candidate_pairs(lsh_band_keys(sig, "surface", k, bands), "surface")
-    edges = jaccard_verify(cand, shingled, "surface", threshold=tau).select(
+    lsh_edges = jaccard_verify(cand, shingled, "surface", threshold=tau).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
+    normed = surfaces.select(
+        "surface", normalize_mention_udf(F.col("surface")).alias("norm")
+    )
+    hubs = normed.groupBy("norm").agg(F.min("surface").alias("hub"))
+    norm_edges = (
+        normed.join(hubs, "norm")
+        .filter(F.col("surface") != F.col("hub"))
+        .select(F.col("surface").alias("src"), F.col("hub").alias("dst"))
+    )
+    edges = lsh_edges.unionByName(norm_edges)
     return components_with_singletons(
         edges,
         surfaces.select(F.col("surface").alias("vertex")),

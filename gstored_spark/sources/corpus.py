@@ -148,6 +148,20 @@ def doc_record(i: int, n_entities: int) -> tuple[dict, list[dict]]:
             )
 
     if lang == "en":
+        if i % 13 == 0:
+            # planted worked-example motif (triangle + snowflake guaranteed):
+            # film f stars a, f directed by d, d spouse of a, names for all
+            # (mirrors example/query.txt / query_2.txt shapes)
+            k = (i // 13) % max(n_entities - 1, 1)
+            f, d, a = film_name(k), person_name(k), person_name(k + 1)
+            emit(f, PRED_STARRING, a, True,
+                 f"{_pick_variant(r, f)} starred {_pick_variant(r, a)}.")
+            emit(f, PRED_DIRECTOR, d, True,
+                 f"{_pick_variant(r, f)} was directed by {_pick_variant(r, d)}.")
+            emit(a, PRED_SPOUSE, d, True,
+                 f"{_pick_variant(r, a)} is the spouse of {_pick_variant(r, d)}.")
+            emit(f, PRED_NAME, f, False, f'{_pick_variant(r, f)} is also known as "{f}".')
+            emit(a, PRED_NAME, a, False, f'{_pick_variant(r, a)} is also known as "{a}".')
         n_facts = 1 + r.randrange(3)
         for _ in range(n_facts):
             kind = r.randrange(5)
@@ -169,7 +183,8 @@ def doc_record(i: int, n_entities: int) -> tuple[dict, list[dict]]:
                 emit(p, PRED_BIRTHPLACE, c, True,
                      f"{_pick_variant(r, p)} was born in {_pick_variant(r, c)}.")
             else:
-                e = person_name(r.randrange(n_entities))
+                mk = person_name if r.randrange(2) == 0 else film_name
+                e = mk(r.randrange(n_entities))
                 emit(e, PRED_NAME, e, False,
                      f'{_pick_variant(r, e)} is also known as "{e}".')
     else:

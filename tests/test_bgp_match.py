@@ -1,0 +1,116 @@
+"""BGP matching vs a pure-python matcher, on the reference's worked-example
+queries re-expressed over our fixture vocabulary (FIXTURES.md §A4)."""
+
+import itertools
+
+import pytest
+
+from gstored_spark.plans.bgp import (
+    TriplePattern,
+    greedy_order,
+    is_star,
+    match_bgp,
+    modifiers,
+    parse_query,
+    run_query_text,
+)
+
+TRIANGLE = """select ?a ?d ?f where {
+?a <rel:spouse> ?d.
+?f <rel:director> ?d.
+?f <rel:starring> ?a.
+}"""
+
+SNOWFLAKE = """select ?a ?d ?f1 ?f2 ?n1 ?n2 where {
+?d <rel:spouse> ?a.
+?f2 <rel:director> ?d.
+?f2 <rel:name> ?n2.
+?f1 <rel:starring> ?a.
+?f1 <rel:name> ?n1.
+}"""
+
+STAR = """select ?p ?c ?q where {
+?p <rel:birthPlace> ?c.
+?p <rel:spouse> ?q.
+}"""
+
+
+def _py_match(triples, patterns, proj):
+    """Brute-force homomorphism matcher over in-memory triples."""
+    results = [dict()]
+    for pat in patterns:
+        new = []
+        for binding in results:
+            for s, p, o in triples:
+                b = dict(binding)
+                ok = True
+                for term, val in ((pat.s, s), (pat.p, p), (pat.o, o)):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in b and b[v] != val:
+                            ok = False
+                            break
+                        b[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    new.append(b)
+        results = new
+    return {tuple(b[v.lstrip("?")] for v in proj) for b in results}
+
+
+@pytest.fixture(scope="module")
+def kg_rows(kg):
+    return [(r["subj"], r["pred"], r["obj"]) for r in kg.select("subj", "pred", "obj").collect()]
+
+
+@pytest.mark.parametrize("qtext", [TRIANGLE, SNOWFLAKE, STAR], ids=["triangle", "snowflake", "star"])
+def test_bgp_vs_pure_python(kg, kg_rows, qtext):
+    proj, patterns = parse_query(qtext)
+    got = {tuple(r) for r in run_query_text(kg, qtext, distinct=True).collect()}
+    want = _py_match(kg_rows, patterns, proj)
+    assert got == want
+    assert len(want) > 0, "fixture must produce at least one match"
+
+
+def test_star_detection():
+    _, pats = parse_query(STAR)
+    assert is_star(pats)
+    _, pats = parse_query(TRIANGLE)
+    assert not is_star(pats)
+
+
+def test_greedy_order_constants_first():
+    pats = [
+        TriplePattern("?a", "<p>", "?b"),
+        TriplePattern("?b", "<p>", "<const>"),
+        TriplePattern("?c", "?p", "?d"),
+    ]
+    order = greedy_order(pats)
+    assert order[0] == 1  # most constants first
+    assert order[1] == 0  # connected next (shares ?b), not the disconnected one
+
+
+def test_repeated_var_pattern(spark):
+    t = spark.createDataFrame(
+        [("<a>", "<p>", "<a>"), ("<a>", "<p>", "<b>")], ["subj", "pred", "obj"]
+    )
+    out = match_bgp(t, [TriplePattern("?x", "<p>", "?x")])
+    assert [tuple(r) for r in out.collect()] == [("<a>",)]
+
+
+def test_constant_only_pattern_existence(spark):
+    t = spark.createDataFrame([("<a>", "<p>", "<b>")], ["subj", "pred", "obj"])
+    out = match_bgp(
+        t, [TriplePattern("<a>", "<p>", "<b>"), TriplePattern("?x", "<p>", "?y")]
+    )
+    assert out.count() == 1
+
+
+def test_modifiers(spark):
+    t = spark.createDataFrame(
+        [("b", 2), ("a", 1), ("a", 1), ("c", 3)], ["k", "n"]
+    )
+    out = modifiers(t, distinct=True, order_by=[("k", True)], limit=2, offset=1)
+    assert [r["k"] for r in out.collect()] == ["b", "c"]

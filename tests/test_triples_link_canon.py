@@ -1,0 +1,82 @@
+"""Triple extraction P/R vs a pure-Python reference run on the same rows;
+linking + LSH/CC canonicalization vs the planted alias map."""
+
+from pyspark.sql import functions as F
+
+from gstored_spark.kg import extract as E
+from gstored_spark.kg import link as L
+from gstored_spark.kg import triples as Tr
+from gstored_spark.kg.canon import canonical_triples, surface_components
+from gstored_spark.kg.pipeline import triples_from_documents
+from gstored_spark.sources import corpus as SC
+
+
+def test_mention_extraction_matches_pure_python(spark, docs200):
+    docs = E.extracted(docs200)
+    got = {
+        (r["subj_mention"], r["pred"], r["obj_mention"], r["o_is_entity"], r["url"])
+        for r in Tr.mention_triples(docs).collect()
+    }
+    want = set()
+    for r in docs.select("url", "text").collect():
+        for s, p, o, e in Tr.extract_document(r["text"]):
+            want.add((s, p, o, e, r["url"]))
+    assert got == want
+    assert len(got) > 100
+
+
+def test_sentence_patterns():
+    assert Tr.extract_sentence("The Borath Quinel 0001 was directed by Marel Telion 0002.") == (
+        "The Borath Quinel 0001", "<rel:director>", "Marel Telion 0002", True
+    )
+    assert Tr.extract_sentence('Marel X. Telion 0002 is also known as "Marel Telion 0002".') == (
+        "Marel X. Telion 0002", "<rel:name>", "Marel Telion 0002", False
+    )
+    assert Tr.extract_sentence("no pattern here at all") is None
+
+
+def test_alias_variants_cluster_via_lsh_cc(spark):
+    # all planted variants of an entity must land in one component, and
+    # distinct entities must stay apart
+    names = [SC.person_name(k) for k in range(25)]
+    surfaces = [v for n in names for v in SC.alias_variants(n)]
+    sdf = spark.createDataFrame([(s,) for s in set(surfaces)], ["surface"])
+    comps = {r["surface"]: r["component"] for r in surface_components(sdf).collect()}
+    for n in names:
+        variants = SC.alias_variants(n)
+        cs = {comps[v] for v in variants}
+        assert len(cs) == 1, f"variants of {n!r} split: {variants} -> {cs}"
+    roots = {comps[SC.alias_variants(n)[0]] for n in names}
+    assert len(roots) == len(names), "distinct entities merged"
+
+
+def test_linking_resolves_alias_statements(spark):
+    rows = [
+        ("Borath Quinel 0001", "<rel:name>", "Borath Quinel 0001", False, "u1"),
+        ("borath quinel 0001", "<rel:spouse>", "Telion Marel 0002", True, "u2"),
+    ]
+    mt = spark.createDataFrame(
+        rows, ["subj_mention", "pred", "obj_mention", "o_is_entity", "url"]
+    )
+    linked = L.linked_triples(mt)
+    got = {r["subj_surface"] for r in linked.collect()}
+    # the lowercase alias is replaced by the stated canonical name
+    assert got == {"Borath Quinel 0001"}
+
+
+def test_end_to_end_precision_recall(spark, kg, gold200):
+    pred = kg.select("subj", "pred", "obj").distinct()
+    gold = gold200.select("subj", "pred", "obj").distinct()
+    inter = pred.intersect(gold).count()
+    p = inter / pred.count()
+    r = inter / gold.count()
+    assert p >= 0.95 and r >= 0.95, f"P={p:.3f} R={r:.3f}"
+
+
+def test_canonical_triples_lexical_forms(spark, kg):
+    t = kg
+    bad_subj = t.filter(~F.col("subj").rlike(r"^<ent:[a-z0-9_]+>$")).count()
+    assert bad_subj == 0
+    lits = t.filter(~F.col("o_is_entity"))
+    bad_lit = lits.filter(~F.col("obj").rlike(r'^".*"@en$')).count()
+    assert bad_lit == 0
