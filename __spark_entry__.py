@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: builds a relational->graph triple view of the
+sf0.001 tables, partitions it gStoreD-style, and answers a triangle BGP.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data operators (dedup, similarity, text
+stats, multimodal). Every computed column is aliased identically in the
+Spark plan and the DuckDB SQL; float-accumulating aggregates are avoided or
+cast to exact integers so the value-hash comparison is stable.
+
+Rows-only entries (no oracle): groupcc-free ops that are not expressible in
+ANSI SQL the driver can run — signature bitmaps (bit-exact vs the reference
+formulas, tested in tests/test_signature.py), winnowing fingerprints, the
+SRP-LSH ANN variant, and the full KG pipeline (P/R-gated in
+tests/test_triples_link_canon.py).
 """
 
 from __future__ import annotations
@@ -12,27 +21,697 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational -> graph triple view shared by the BGP queries
+# (dictionary/adjacency semantics per SURVEY §1; terms are strings exactly as
+# the SQL oracle spells them)
+# ---------------------------------------------------------------------------
+
+
+def _graph_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    t1 = c.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey")).alias("subj"),
+        F.lit("<in_nation>").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey")).alias("obj"),
+    )
+    t2 = s.select(
+        F.concat(F.lit("supp:"), F.col("s_suppkey")).alias("subj"),
+        F.lit("<in_nation>").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("s_nationkey")).alias("obj"),
+    )
+    t3 = o.select(
+        F.concat(F.lit("ord:"), F.col("o_orderkey")).alias("subj"),
+        F.lit("<placed_by>").alias("pred"),
+        F.concat(F.lit("cust:"), F.col("o_custkey")).alias("obj"),
+    )
+    t4 = n.select(
+        F.concat(F.lit("nat:"), F.col("n_nationkey")).alias("subj"),
+        F.lit("<in_region>").alias("pred"),
+        F.concat(F.lit("reg:"), F.col("n_regionkey")).alias("obj"),
+    )
+    return t1.unionAll(t2).unionAll(t3).unionAll(t4)
+
+
+_GRAPH_SQL = """
+    SELECT 'cust:' || c_custkey AS subj, '<in_nation>' AS pred,
+           'nat:' || c_nationkey AS obj FROM customer
+    UNION ALL
+    SELECT 'supp:' || s_suppkey, '<in_nation>', 'nat:' || s_nationkey FROM supplier
+    UNION ALL
+    SELECT 'ord:' || o_orderkey, '<placed_by>', 'cust:' || o_custkey FROM orders
+    UNION ALL
+    SELECT 'nat:' || n_nationkey, '<in_region>', 'reg:' || n_regionkey FROM nation
+"""
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"  # DuckDB twin of dedup.normalized_text
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Triangle BGP over the relational->graph view of sf0.001 — exercises
+    the J1 multi-join path (SURVEY §2.4) with the greedy constant-first
+    ordering and Catalyst/AQE doing the physical planning."""
+    from gstored_spark.plans.bgp import TriplePattern, match_bgp
+
+    triples = _graph_triples(spark, SF_DEFAULT)
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "?n"),
+        TriplePattern("?s", "<in_nation>", "?n"),
+    ]
+    return match_bgp(triples, pats, ["?o", "?c", "?n", "?s"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_dict_encode(spark, sf):
+    """Dictionary encoding (SURVEY §1.1, Database.cpp:1444-1504): dense ids
+    in global sort order via the scalable range-partitioned assigner."""
+    from gstored_spark.kg.ids import assign_dense_ids
+
+    names = _t(spark, sf, "customer").select(F.col("c_name").alias("term")).distinct()
+    return assign_dense_ids(names, "term", 0)
+
+
+def _q_filter_pushdown(spark, sf):
+    """F3 constant-edge filter as semi-join + pushed-down scan filters
+    (Join.cpp:2097-2228)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_quantity") < 25)
+    )
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    sj = l.join(o.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "leftsemi")
+    return sj.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+def _q_multi_join(spark, sf):
+    """J1/J3 multi-way equi-join (Join.cpp:1418-1633 -> chained joins)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf, "customer")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def _q_left_optional(spark, sf):
+    """J4 OPTIONAL = left outer join (GeneralEvaluation.cpp:1217-1269)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("cnt_orders"))
+
+
+def _q_minus_anti(spark, sf):
+    """J5 MINUS = left anti join (GeneralEvaluation.cpp:1270-1307)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q_union_bag(spark, sf):
+    """U1 bag UNION (GeneralEvaluation.cpp:1202-1216): duplicates kept."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_totalprice") > 450000)
+    return a.unionAll(b).select("o_orderkey", "o_orderstatus")
+
+
+def _q_distinct_proj(spark, sf):
+    """A1 DISTINCT over projected columns (GeneralEvaluation.cpp:1308-1332)."""
+    return _t(spark, sf, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+def _q_order_limit(spark, sf):
+    """A2/A3 multi-key ORDER BY + OFFSET/LIMIT (Stream sort ->
+    Spark external sort)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_groupcc(spark, sf):
+    """J8 assembly-fixpoint analog: connected components by alternating
+    star contraction (Util.cpp:1777-1858 -> operators/cc.py)."""
+    from gstored_spark.operators.cc import connected_components
+
+    n = _t(spark, sf, "nation")
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def _q_signature_bits(spark, sf):
+    """F1/F2 signature bitmaps, bit-exact formulas (Signature.cpp:34-76,
+    112-155); rows-only here, bit-exactness proven in tests."""
+    from gstored_spark.functions.signature import sig_words_from_bits, contribution_bits_udf
+
+    t = _graph_triples(spark, sf).filter(F.col("pred") == "<in_region>")
+    contrib = t.select(
+        F.col("subj").alias("v_term"),
+        contribution_bits_udf(F.col("obj"), F.lit(0), F.lit(True)).alias("bits"),
+    )
+    sigs = sig_words_from_bits(contrib, ["v_term"], "bits")
+    return sigs.select(
+        "v_term",
+        F.array_join(F.transform("sig", lambda w: F.hex(w)), "|").alias("sig_hex"),
+    )
+
+
+def _q_bgp_triangle(spark, sf):
+    """J1 multi-join triangle over the graph view (example/query_2.txt shape)."""
+    from gstored_spark.plans.bgp import TriplePattern, match_bgp
+
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "?n"),
+        TriplePattern("?s", "<in_nation>", "?n"),
+    ]
+    return match_bgp(_graph_triples(spark, sf), pats, ["?o", "?c", "?n", "?s"])
+
+
+def _q_bgp_star(spark, sf):
+    """Star BGP: constant object + shared center var — the query shape that
+    needs no assembly under crossing-edge replication (Database.cpp:661-671)."""
+    from gstored_spark.plans.bgp import TriplePattern, match_bgp
+
+    pats = [
+        TriplePattern("?c", "<in_nation>", "nat:7"),
+        TriplePattern("?o", "<placed_by>", "?c"),
+    ]
+    return match_bgp(_graph_triples(spark, sf), pats, ["?c", "?o"])
+
+
+def _q_pred_var_join(spark, sf):
+    """J7 predicate-variable resolution (Join.cpp:466-700): (?s ?p const)."""
+    from gstored_spark.plans.bgp import TriplePattern, match_bgp
+
+    return match_bgp(
+        _graph_triples(spark, sf), [TriplePattern("?s", "?p", "nat:3")], ["?s", "?p"]
+    )
+
+
+def _q_exists_filter(spark, sf):
+    """F7/EXISTS -> leftsemi join (GeneralEvaluation.cpp:2257-2286)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "leftsemi"
+    ).select("c_custkey")
+
+
+def _q_regex_filter(spark, sf):
+    """§2.8 REGEX builtin (RegexExpression.h) -> rlike."""
+    p = _t(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").rlike("^(red|blue) ") & F.col("p_type").isin("ECONOMY", "SMALL")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+def _q_scalar_funcs(spark, sf):
+    """§2.8 scalar surface: STR-style lexical ops, arithmetic, comparisons,
+    date parts (FilterEvaluationMultitypeValue lattice -> native exprs)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.substring("o_orderpriority", 1, 1).alias("prio1"),
+        F.length("o_orderstatus").alias("stat_len"),
+        F.floor(F.col("o_totalprice") * 0.9 * 100).cast("long").alias("net_cents"),
+        (F.col("o_totalprice") > 250000).alias("is_big"),
+    )
+
+
+# ---- training-data operators ----------------------------------------------
+
+
+def _q_exact_dedup(spark, sf):
+    from gstored_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_minhash_lsh(spark, sf):
+    """MinHash(8) + LSH(4 bands) candidate pairs over word-3gram shingles;
+    md5-based hashes make this SQL-oracle-able."""
+    from gstored_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = _t(spark, sf, "documents")
+    shingled = d.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = minhash_signature(shingled, "doc_id", "shingles", k=8)
+    return lsh_candidate_pairs(
+        lsh_band_keys(sig, "doc_id", k=8, bands=4), "doc_id", max_bucket=1_000_000_000
+    )
+
+
+def _q_simhash(spark, sf):
+    from gstored_spark.operators.dedup import simhash_hex
+
+    return simhash_hex(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark, sf):
+    """Exact token-set Jaccard pairs >= 0.8 among doc_id < 200."""
+    from gstored_spark.operators.dedup import tokens
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        toks.select(F.col("doc_id").alias("a"), "tok")
+        .join(toks.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return j.select("a", "b", "jaccard")
+
+
+def _q_ann_topk(spark, sf):
+    """Brute-force cosine top-5 (similarity baseline); double-precision dot
+    products, rank ties broken by neighbor id."""
+    from gstored_spark.operators.similarity import topk_cosine
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine(e, q, "vec_id", "embedding", k=5)
+
+
+def _q_ann_srp(spark, sf):
+    """SRP-LSH bucketed ANN (scale path; rows-only — recall vs brute force
+    asserted in tests)."""
+    from gstored_spark.operators.similarity import topk_cosine_srp
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return topk_cosine_srp(e, q, "vec_id", "embedding", dim=64, k=5, planes=3)
+
+
+def _q_lang_id(spark, sf):
+    from gstored_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_quality(spark, sf):
+    from gstored_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_token_count(spark, sf):
+    from gstored_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_content_fp(spark, sf):
+    from gstored_spark.operators.textstats import content_fingerprint
+
+    return content_fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_winnow(spark, sf):
+    """Winnowing rolling-hash fingerprints (rows-only: verified vs the
+    pure-python reference in tests)."""
+    from gstored_spark.operators.textstats import winnowed
+
+    d = _t(spark, sf, "documents")
+    return winnowed(d, "doc_id", "text").select(
+        "doc_id", F.size("winnow_fp").alias("n_fp"), F.col("winnow_fp")
+    )
+
+
+def _q_mm_bytes(spark, sf):
+    """Multimodal plumbing: binary payload -> mapInPandas byte features;
+    n_bytes oracled via octet_length."""
+    from gstored_spark.operators.multimodal import byte_features
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return byte_features(d).select("media_id", "n_bytes")
+
+
+def _q_kg_triples(spark, sf):
+    """Full KG pipeline on a 64-doc synthetic corpus (rows-only; P/R >= 0.95
+    gated in pytest). sf_dir unused: the corpus is generated in-process."""
+    from gstored_spark.kg.pipeline import triples_from_documents
+    from gstored_spark.sources.corpus import generate_documents
+
+    docs = generate_documents(spark, 64)
+    return triples_from_documents(spark, docs).select("subj", "pred", "obj", "o_is_entity")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "dict_encode": _q_dict_encode,
+        "filter_pushdown": _q_filter_pushdown,
+        "multi_join": _q_multi_join,
+        "left_optional": _q_left_optional,
+        "minus_anti": _q_minus_anti,
+        "union_bag": _q_union_bag,
+        "distinct_proj": _q_distinct_proj,
+        "order_limit": _q_order_limit,
+        "groupcc": _q_groupcc,
+        "signature_bits": _q_signature_bits,
+        "bgp_triangle": _q_bgp_triangle,
+        "bgp_star": _q_bgp_star,
+        "pred_var_join": _q_pred_var_join,
+        "exists_filter": _q_exists_filter,
+        "regex_filter": _q_regex_filter,
+        "scalar_funcs": _q_scalar_funcs,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "ann_srp": _q_ann_srp,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "token_count": _q_token_count,
+        "content_fp": _q_content_fp,
+        "winnow": _q_winnow,
+        "mm_bytes": _q_mm_bytes,
+        "kg_triples": _q_kg_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = ",".join(f"'{w}'" for w in ["the", "and", "of", "to", "is", "was", "with"])
+    langs = {
+        "de": ["und", "der", "die", "das", "mit", "von", "ist"],
+        "en": ["the", "and", "of", "to", "is", "was", "with"],
+        "es": ["el", "los", "las", "una", "con", "por", "que"],
+        "fr": ["le", "la", "les", "des", "et", "dans", "pour"],
+    }
+    hits = {
+        k: f"len(list_filter(string_split({_NORM}, ' '), x -> x IN ({','.join(repr(w) for w in v)})))"
+        for k, v in langs.items()
+    }
+    best = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
+
+    return {
+        "dict_encode": """
+            SELECT term, row_number() OVER (ORDER BY term) - 1 AS id
+            FROM (SELECT DISTINCT c_name AS term FROM customer)
+        """,
+        "filter_pushdown": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '2000-01-01' AND l.l_quantity < 25
+              AND EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "multi_join": """
+            SELECT c_mktsegment, count(*) AS cnt,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderstatus = 'O'
+            GROUP BY c_mktsegment
+        """,
+        "left_optional": """
+            SELECT c.c_custkey, count(o.o_orderkey) AS cnt_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """,
+        "minus_anti": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "union_bag": """
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 450000
+        """,
+        "distinct_proj": "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+        "order_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 10
+        """,
+        "groupcc": """
+            WITH RECURSIVE
+            edges AS (SELECT CAST(n_nationkey AS BIGINT) AS a,
+                             CAST(100 + n_regionkey AS BIGINT) AS b FROM nation),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            verts AS (SELECT a AS v FROM sym UNION SELECT b FROM sym),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v
+            )
+            SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """,
+        "bgp_triangle": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n, t3.subj AS s
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj JOIN g t3 ON t2.obj = t3.obj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND t3.pred = '<in_nation>'
+        """,
+        "bgp_star": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS c, t2.subj AS o
+            FROM g t1 JOIN g t2 ON t2.obj = t1.subj
+            WHERE t1.pred = '<in_nation>' AND t1.obj = 'nat:7'
+              AND t2.pred = '<placed_by>'
+        """,
+        "pred_var_join": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS s, pred AS p FROM g WHERE obj = 'nat:3'
+        """,
+        "exists_filter": """
+            SELECT c_custkey FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """,
+        "regex_filter": """
+            SELECT p_partkey, p_name, p_type FROM part
+            WHERE regexp_matches(p_name, '^(red|blue) ') AND p_type IN ('ECONOMY','SMALL')
+        """,
+        "scalar_funcs": """
+            SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   substring(o_orderpriority, 1, 1) AS prio1,
+                   CAST(length(o_orderstatus) AS INT) AS stat_len,
+                   CAST(floor(o_totalprice * 0.9 * 100) AS BIGINT) AS net_cents,
+                   o_totalprice > 250000 AS is_big
+            FROM orders
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS content_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh": f"""
+            WITH base AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM base WHERE len(t) > 0
+            ),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('0|' || sh)) AS mh_0, min(md5('1|' || sh)) AS mh_1,
+                       min(md5('2|' || sh)) AS mh_2, min(md5('3|' || sh)) AS mh_3,
+                       min(md5('4|' || sh)) AS mh_4, min(md5('5|' || sh)) AS mh_5,
+                       min(md5('6|' || sh)) AS mh_6, min(md5('7|' || sh)) AS mh_7
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5('0' || '|' || mh_0 || '|' || mh_1) AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1, md5('1' || '|' || mh_2 || '|' || mh_3) FROM sig
+                UNION ALL
+                SELECT doc_id, 2, md5('2' || '|' || mh_4 || '|' || mh_5) FROM sig
+                UNION ALL
+                SELECT doc_id, 3, md5('3' || '|' || mh_6 || '|' || mh_7) FROM sig
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+            WHERE x.doc_id < y.doc_id
+        """,
+        "simhash": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok, md5(tok) AS h FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                    FROM documents
+                ) WHERE tok <> ''
+            ),
+            contrib AS (
+                SELECT doc_id, b,
+                       CASE WHEN (CAST(strpos('0123456789abcdef',
+                                 substring(h, CAST(1 + b//4 AS INT), 1)) - 1 AS INT)
+                             // CAST([1,2,4,8][(3 - (b % 4)) + 1] AS INT)) % 2 = 1
+                            THEN 1 ELSE -1 END AS v
+                FROM toks, (SELECT unnest(range(0, 64)) AS b)
+            ),
+            bits AS (
+                SELECT doc_id, b, CASE WHEN sum(v) >= 0 THEN 1 ELSE 0 END AS bit
+                FROM contrib GROUP BY doc_id, b
+            ),
+            digits AS (
+                SELECT doc_id, CAST(b//4 AS INT) AS digit_idx,
+                       CAST(sum(bit * [8,4,2,1][(b % 4) + 1]) AS INT) AS dv
+                FROM bits GROUP BY doc_id, CAST(b//4 AS INT)
+            )
+            SELECT doc_id,
+                   string_agg(substring('0123456789abcdef', dv + 1, 1), ''
+                              ORDER BY digit_idx) AS simhash
+            FROM digits GROUP BY doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                    FROM documents WHERE doc_id < 200
+                ) WHERE tok <> ''
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM toks x JOIN toks y ON x.tok = y.tok
+                WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.8
+        """,
+        "ann_topk": """
+            WITH ex AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ),
+            norms AS (
+                SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS nrm
+                FROM ex GROUP BY vec_id
+            ),
+            q AS (SELECT * FROM ex WHERE vec_id % 100 = 0),
+            dots AS (
+                SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       sum(CAST(q.x AS DOUBLE) * c.x) AS dot
+                FROM q JOIN ex c ON q.i = c.i
+                WHERE q.vec_id <> c.vec_id
+                GROUP BY q.vec_id, c.vec_id
+            ),
+            scored AS (
+                SELECT qid, nid,
+                       round(dot / (nq.nrm * nc.nrm), 6) AS score
+                FROM dots JOIN norms nq ON nq.vec_id = qid
+                     JOIN norms nc ON nc.vec_id = nid
+            )
+            SELECT qid, nid, rank FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN {best} = 0 THEN 'und'
+                        WHEN {hits['de']} = {best} THEN 'de'
+                        WHEN {hits['en']} = {best} THEN 'en'
+                        WHEN {hits['es']} = {best} THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CAST({best} AS INT) AS score
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH b AS (
+                SELECT doc_id, {_NORM} AS s, string_split({_NORM}, ' ') AS t
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       CAST(length(s) AS BIGINT) AS n_chars,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       len(list_filter(t, x -> x IN ({en}))) AS stop_hits,
+                       length(s) - length(regexp_replace(s, '[^\\w\\s]', '', 'g')) AS n_punct
+                FROM b
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS mean_token_len,
+                   round(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+                   round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.5
+                         + round(stop_hits * 1.0 / n_tokens, 6) * 2.0
+                         + (1.0 - round(n_punct * 1.0 / n_chars, 6)) * 0.1, 6) AS quality
+            FROM m
+        """,
+        "token_count": f"""
+            WITH b AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents)
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS ws_tokens,
+                   CAST(coalesce(list_sum(list_transform(t,
+                        x -> CAST(ceil(length(regexp_replace(x, '[^\\w]', '', 'g')) / 4.0) AS BIGINT)
+                             + length(regexp_replace(x, '[\\w]', '', 'g')))), 0) AS BIGINT) AS bpe_tokens
+            FROM b
+        """,
+        "content_fp": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "mm_bytes": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+    }
