@@ -306,6 +306,16 @@ def _q_minhash_lsh(spark, sf):
     )
 
 
+def _q_minhash_dedup(spark, sf):
+    """Full near-dup pipeline: capped LSH buckets (skew/boilerplate guard) +
+    Jaccard verify + connected components (rows-only: hash family tested via
+    minhash_lsh oracle, CC via groupcc oracle)."""
+    from gstored_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(d, "doc_id", "text", threshold=0.5)
+
+
 def _q_simhash(spark, sf):
     from gstored_spark.operators.dedup import simhash_hex
 
@@ -436,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_funcs": _q_scalar_funcs,
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh": _q_minhash_lsh,
+        "minhash_dedup": _q_minhash_dedup,
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,

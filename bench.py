@@ -1,0 +1,109 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): end-to-end KG-construction throughput in
+triples/sec — synthetic Common-Crawl-style corpus (sources/corpus.py,
+generated distributedly, excluded from the timed window) through
+extract -> triples -> link -> LSH+CC canon -> ids -> partition ->
+adjacency+signatures, forced by materializing the adjacency blocks and
+partition signatures.
+
+Also times the headline operator queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS  corpus size for the pipeline leg (default 4000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from gstored_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+
+# headline operator queries (forced via count) — chosen to cover the join,
+# dedup, similarity, text and CC families at sf scale
+QUERY_NAMES = [
+    "multi_join",
+    "filter_pushdown",
+    "bgp_triangle",
+    "bgp_star",
+    "groupcc",
+    "exact_dedup",
+    "minhash_dedup",
+    "simhash",
+    "ngram_jaccard",
+    "ann_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "order_limit",
+    "dict_encode",
+]
+
+
+def main():
+    spark = get_spark(
+        "bench", cores=CPUS, shuffle_partitions=max(CPUS, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    # --- KG pipeline leg -----------------------------------------------
+    from gstored_spark.kg.pipeline import run_pipeline
+    from gstored_spark.sources.corpus import generate_documents
+
+    docs = generate_documents(spark, N_DOCS).persist()
+    n_docs = docs.count()  # corpus generation excluded from the timed window
+
+    # n_parts is a property of the output graph layout, held constant across
+    # parallelism levels so local[8] vs local[32] run the *same job*
+    t0 = time.time()
+    res = run_pipeline(spark, docs, n_parts=16)
+    n_triples = res.id_triples.count()
+    n_adj = res.adjacency.count()
+    n_psig = res.part_sig.count()
+    pipeline_sec = time.time() - t0
+    triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
+    timings["kg_pipeline"] = round(pipeline_sec, 3)
+
+    # --- operator queries ------------------------------------------------
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "kg_construct_triples_per_sec",
+        "value": round(triples_per_sec, 2),
+        "unit": "triples/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "triples": n_triples,
+        "adjacency_rows": n_adj,
+        "partitions": n_psig,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,9 +55,9 @@ def entity_surfaces(linked: DataFrame) -> DataFrame:
 
 def surface_components(
     surfaces: DataFrame,
-    tau: float = 0.5,
+    tau: float = 0.8,
     k: int = 16,
-    bands: int = 8,
+    bands: int = 4,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """surfaces(surface) -> (surface, component) where component is the min
@@ -65,8 +65,11 @@ def surface_components(
 
     Two blocking channels (multi-blocking ER): (1) exact full-normalization
     key — surfaces that normalize identically are connected outright;
-    (2) MinHash-LSH bands (k=16, r=2 -> high recall at tau~0.5) verified by
-    exact Jaccard."""
+    (2) MinHash-LSH bands (k=16, r=4) verified by exact Jaccard at a strict
+    tau=0.8 — the LSH channel only merges near-identical strings
+    (whitespace/punct variance); looser thresholds merge distinct entities
+    whose names differ only in a numeric suffix (observed precision
+    failure at 10^5-doc scale)."""
     shingled = surfaces.select(
         F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -93,7 +96,7 @@ def surface_components(
 
 
 def canonical_map(
-    surfaces: DataFrame, tau: float = 0.5, checkpoint_dir: str | None = None
+    surfaces: DataFrame, tau: float = 0.8, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """(surface, canonical_iri): representative = min normalized member of
     the surface's component — parallelism-independent (SURVEY §7 hard-part
@@ -113,11 +116,15 @@ def canonical_map(
 
 
 def canonical_triples(
-    linked: DataFrame, tau: float = 0.5, checkpoint_dir: str | None = None
+    linked: DataFrame, tau: float = 0.8, checkpoint_dir: str | None = None
 ) -> DataFrame:
     """linked surface triples -> canonical string triples
     (subj, pred, obj, o_is_entity, url) with reference lexical forms."""
-    cmap = canonical_map(entity_surfaces(linked), tau=tau, checkpoint_dir=checkpoint_dir)
+    # consumed by both the subject and the object join; localCheckpoint also
+    # truncates the LSH+CC plan so the triple joins re-analyze a flat scan
+    cmap = canonical_map(
+        entity_surfaces(linked), tau=tau, checkpoint_dir=checkpoint_dir
+    ).localCheckpoint(eager=False)
     t = linked.join(
         cmap.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
             "canonical_iri", "subj"

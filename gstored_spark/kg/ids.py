@@ -76,6 +76,56 @@ def assign_dense_ids(
     return out
 
 
+def assign_dense_ids_2ns(
+    terms: DataFrame, buckets: int | None = None
+) -> DataFrame:
+    """terms(ns int in {0,1}, term) distinct -> (ns, term, id): namespace 0
+    numbered from 0, namespace 1 from LITERAL_FIRST_ID — one range shuffle
+    for both dictionaries instead of two separate assignment passes."""
+    spark = terms.sparkSession
+    buckets = buckets or spark.sparkContext.defaultParallelism
+    srt = (
+        terms.select("ns", "term")
+        .repartitionByRange(buckets, F.col("ns"), F.col("term"))
+        .sortWithinPartitions("ns", "term")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    srt = srt.persist()
+    try:
+        counts: dict[tuple[int, int], int] = {
+            (r["_pid"], r["ns"]): r["n"]
+            for r in srt.groupBy("_pid", "ns").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        base = {0: 0, 1: LITERAL_FIRST_ID}
+        offsets: dict[tuple[int, int], int] = {}
+        for ns in (0, 1):
+            acc = base[ns]
+            for pid in sorted(p for (p, n) in counts if n == ns):
+                offsets[(pid, ns)] = acc
+                acc += counts[(pid, ns)]
+
+        def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nxt: dict[int, int] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                ids = []
+                for ns in pdf["ns"]:
+                    ns = int(ns)
+                    if ns not in nxt:
+                        nxt[ns] = offsets[(pid, ns)]
+                    ids.append(nxt[ns])
+                    nxt[ns] += 1
+                yield pd.DataFrame({"ns": pdf["ns"].values, "term": pdf["term"].values, "id": ids})
+
+        out = srt.mapInPandas(number, schema="ns int, term string, id long")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        srt.unpersist()
+    return out
+
+
 def build_dictionaries(triples: DataFrame, buckets: int | None = None):
     """canonical triples -> (entity_dict, literal_dict, pred_dict DataFrames).
 
@@ -85,13 +135,18 @@ def build_dictionaries(triples: DataFrame, buckets: int | None = None):
         triples.select(F.col("subj").alias("term"))
         .unionAll(triples.filter("o_is_entity").select(F.col("obj").alias("term")))
         .distinct()
+        .withColumn("ns", F.lit(0))
     )
     literals = (
-        triples.filter(~F.col("o_is_entity")).select(F.col("obj").alias("term")).distinct()
+        triples.filter(~F.col("o_is_entity"))
+        .select(F.col("obj").alias("term"))
+        .distinct()
+        .withColumn("ns", F.lit(1))
     )
+    both = assign_dense_ids_2ns(entities.unionByName(literals), buckets)
+    entity_dict = both.filter("ns = 0").select("term", "id")
+    literal_dict = both.filter("ns = 1").select("term", "id")
     preds = triples.select(F.col("pred").alias("term")).distinct()
-    entity_dict = assign_dense_ids(entities, "term", 0, buckets)
-    literal_dict = assign_dense_ids(literals, "term", LITERAL_FIRST_ID, buckets)
     # predicates: tiny by assumption -> driver-side sorted enumeration
     pred_terms = sorted(r["term"] for r in preds.collect())
     spark = triples.sparkSession

@@ -91,7 +91,7 @@ def linked_triples(mention_triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    links = link_surfaces(surfaces, aliases)
+    links = link_surfaces(surfaces, aliases).localCheckpoint(eager=False)  # used by both joins
     # no broadcast hint on the surface map: it scales with entity count, so
     # AQE decides (broadcasts at test scale, shuffle-joins at web scale)
     t = mention_triples.join(

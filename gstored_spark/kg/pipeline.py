@@ -55,7 +55,13 @@ def run_pipeline(
 ) -> PipelineResult:
     def stage(name: str, df: DataFrame, part_col: str | None = None) -> DataFrame:
         if store is None:
-            return df
+            # every stage output is consumed by 2+ downstream plans; without
+            # a snapshot store, cut BOTH recomputation and plan growth:
+            # localCheckpoint truncates the logical plan to a LogicalRDD, so
+            # downstream stages don't pay Catalyst re-analysis of the entire
+            # upstream tree (the dominant fixed cost once the tree contains
+            # the LSH aggregates and the CC fixpoint output)
+            return df.localCheckpoint(eager=False)
         return store.materialize(name, df, part_col)
 
     docs = stage("extracted", E.extracted(documents))
@@ -65,10 +71,6 @@ def run_pipeline(
         "canonical_triples",
         C.canonical_triples(linked, checkpoint_dir=canon_checkpoint_dir),
     )
-    if store is None:
-        # avoid recomputing the whole upstream pipeline for each of the
-        # several downstream consumers
-        triples = triples.localCheckpoint(eager=False)
 
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
     entity_dict = stage("entity_dict", entity_dict)

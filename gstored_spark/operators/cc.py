@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canon_edges(edges: DataFrame) -> DataFrame:
@@ -71,12 +72,41 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(rows: list, spark) -> DataFrame:
+    """Small-graph fast path: classic union-find on the driver. Picked at
+    runtime by edge count (AQE-style stats-based dispatch) — a fixpoint of
+    distributed star rounds on a few thousand edges is all coordination
+    latency; at web scale the distributed path is taken instead."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for hi, lo in rows:
+        ra, rb = find(hi), find(lo)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(v, find(v)) for v in set([a for a, _ in rows] + [b for _, b in rows])]
+    return spark.createDataFrame(out, schema=["vertex", "component"])
+
+
+SMALL_GRAPH_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """edges(src, dst) -> (vertex, component) with component = min member.
 
@@ -87,8 +117,26 @@ def connected_components(
     e = _canon_edges(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
     prev = _checksum(e)
+    if prev[0] == 0:
+        return spark.createDataFrame(
+            [], schema=T.StructType([
+                T.StructField("vertex", e.schema["hi"].dataType),
+                T.StructField("component", e.schema["hi"].dataType),
+            ])
+        )
+    if prev[0] <= small_graph_edges:
+        return _driver_union_find(
+            [(r["hi"], r["lo"]) for r in e.collect()], spark
+        )
+    # right-size tiny inputs: star rounds over a handful of rows shouldn't
+    # schedule hundreds of shuffle tasks (coordination dominates at the
+    # fixpoint tail); at cluster scale prev[0] is large and this is a no-op
+    if prev[0] < 1_000_000:
+        e = e.coalesce(max(4, int(spark.sparkContext.defaultParallelism) // 4))
     for it in range(max_iter):
-        e2 = _small_star(_large_star(e))
+        # two alternating rounds per convergence check halves the number of
+        # driver synchronization points (the check is a full job)
+        e2 = _small_star(_large_star(_small_star(_large_star(e))))
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/cc_iter_{it}"
             e2.write.mode("overwrite").parquet(path)

@@ -162,7 +162,10 @@ def doc_record(i: int, n_entities: int) -> tuple[dict, list[dict]]:
                  f"{_pick_variant(r, a)} is the spouse of {_pick_variant(r, d)}.")
             emit(f, PRED_NAME, f, False, f'{_pick_variant(r, f)} is also known as "{f}".')
             emit(a, PRED_NAME, a, False, f'{_pick_variant(r, a)} is also known as "{a}".')
-        n_facts = 1 + r.randrange(3)
+        # realistic page volume: fact sentences interleaved with non-fact
+        # filler prose (exercises the extractor's negative path and makes
+        # per-doc compute dominate fixed stage overhead at bench scale)
+        n_facts = 8 + r.randrange(8)
         for _ in range(n_facts):
             kind = r.randrange(5)
             if kind == 0:
@@ -187,6 +190,20 @@ def doc_record(i: int, n_entities: int) -> tuple[dict, list[dict]]:
                 e = mk(r.randrange(n_entities))
                 emit(e, PRED_NAME, e, False,
                      f'{_pick_variant(r, e)} is also known as "{e}".')
+        # filler prose: plausible english sentences with no extractable facts
+        filler_subj = ["The committee", "A recent report", "The festival",
+                       "Local press", "The archive", "This retrospective"]
+        filler_verb = ["reviewed", "discussed", "catalogued", "celebrated",
+                       "examined", "documented"]
+        filler_obj = ["the early releases", "several restored prints",
+                      "the award season", "a touring program",
+                      "the studio era", "many private letters"]
+        for _ in range(20 + r.randrange(16)):
+            sentences.append(
+                f"{r.choice(filler_subj)} {r.choice(filler_verb)} "
+                f"{r.choice(filler_obj)} during {1950 + r.randrange(70)}."
+            )
+        r.shuffle(sentences)
     else:
         noise = _NOISE_DE if lang == "de" else _NOISE_FR
         for _ in range(2 + r.randrange(3)):

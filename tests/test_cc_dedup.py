@@ -2,6 +2,7 @@
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from gstored_spark.operators import dedup as D
@@ -34,7 +35,8 @@ def _uf_components(n, edges):
     return out
 
 
-def test_cc_matches_union_find(spark):
+@pytest.mark.parametrize("small", [0, 10**6], ids=["distributed", "driver-uf"])
+def test_cc_matches_union_find(spark, small):
     rng = random.Random(7)
     n = 300
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
@@ -42,26 +44,28 @@ def test_cc_matches_union_find(spark):
     edf = spark.createDataFrame(edges, ["src", "dst"])
     vdf = spark.createDataFrame([(i,) for i in range(n)], ["vertex"])
     got = {r["vertex"]: r["component"] for r in
-           components_with_singletons(edf, vdf).collect()}
+           components_with_singletons(edf, vdf, small_graph_edges=small).collect()}
     assert got == want
 
 
 def test_cc_long_chain(spark):
     # path graph: worst case for naive propagation; star-contraction must
-    # converge within max_iter (O(log n) rounds)
+    # converge within max_iter double-rounds (O(log n) rounds total)
     n = 128
     edf = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
-    got = connected_components(edf, max_iter=12)
+    got = connected_components(edf, max_iter=8, small_graph_edges=0)
     comps = {r["component"] for r in got.collect()}
     assert comps == {0}
     assert got.count() == n
 
 
-def test_cc_string_ids(spark):
+@pytest.mark.parametrize("small", [0, 10**6], ids=["distributed", "driver-uf"])
+def test_cc_string_ids(spark, small):
     edf = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("x", "y")], ["src", "dst"]
     )
-    got = {r["vertex"]: r["component"] for r in connected_components(edf).collect()}
+    got = {r["vertex"]: r["component"] for r in
+           connected_components(edf, small_graph_edges=small).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
