@@ -1,0 +1,48 @@
+"""N-Triples source/sink roundtrip + worked-example-shaped data
+(lexical-form semantics per Parser/RDFParser.cpp:36-63)."""
+
+from gstored_spark.plans.bgp import run_query_text
+from gstored_spark.sources.ntriples import read_ntriples, write_ntriples
+
+EXAMPLE = """\
+<ex:Woody>\t<ex:name>\t"Woody A."@en.
+<ex:Woody>\t<ex:spouse>\t<ex:Louise>.
+<ex:Sleeper>\t<ex:director>\t<ex:Woody>.
+<ex:Sleeper>\t<ex:starring>\t<ex:Louise>.
+<ex:Louise>\t<ex:name>\t"Louise L."@en.
+malformed line without triple
+<ex:Count>\t<ex:value>\t"42"^^<http://www.w3.org/2001/XMLSchema#integer>.
+"""
+
+
+def test_read_ntriples_and_query(spark, tmp_path):
+    p = tmp_path / "ex.n3"
+    p.write_text(EXAMPLE)
+    t = read_ntriples(spark, str(p))
+    rows = {(r["subj"], r["pred"], r["obj"], r["o_is_entity"]) for r in t.collect()}
+    assert len(rows) == 6  # malformed line dropped
+    assert ("<ex:Woody>", "<ex:spouse>", "<ex:Louise>", True) in rows
+    assert ("<ex:Woody>", "<ex:name>", '"Woody A."@en', False) in rows
+    assert ("<ex:Count>", "<ex:value>",
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', False) in rows
+
+    # the reference's triangle query shape over the parsed file
+    q = """select ?f ?a where {
+    ?f <ex:director> ?w.
+    ?f <ex:starring> ?a.
+    ?w <ex:spouse> ?a.
+    }"""
+    m = [tuple(r) for r in run_query_text(t, q, distinct=True).collect()]
+    assert m == [("<ex:Sleeper>", "<ex:Louise>")]
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    p = tmp_path / "in.n3"
+    p.write_text(EXAMPLE)
+    t = read_ntriples(spark, str(p))
+    out = tmp_path / "out"
+    write_ntriples(t, str(out))
+    t2 = read_ntriples(spark, str(out))
+    a = {tuple(r) for r in t.collect()}
+    b = {tuple(r) for r in t2.collect()}
+    assert a == b
