@@ -120,11 +120,16 @@ def canonical_triples(
 ) -> DataFrame:
     """linked surface triples -> canonical string triples
     (subj, pred, obj, o_is_entity, url) with reference lexical forms."""
+    from gstored_spark.kg.link import maybe_broadcast
+
     # consumed by both the subject and the object join; localCheckpoint also
-    # truncates the LSH+CC plan so the triple joins re-analyze a flat scan
-    cmap = canonical_map(
-        entity_surfaces(linked), tau=tau, checkpoint_dir=checkpoint_dir
-    ).localCheckpoint(eager=False)
+    # truncates the LSH+CC plan so the triple joins re-analyze a flat scan;
+    # broadcast when small (checkpointed plans carry no size stats)
+    cmap = maybe_broadcast(
+        canonical_map(
+            entity_surfaces(linked), tau=tau, checkpoint_dir=checkpoint_dir
+        ).localCheckpoint(eager=True)
+    )
     t = linked.join(
         cmap.withColumnRenamed("surface", "subj_surface").withColumnRenamed(
             "canonical_iri", "subj"

@@ -165,8 +165,11 @@ def encode_triples(
     """-> id_triples(s long, p long, o long, o_is_entity boolean).
 
     Predicate dictionary is broadcast; term dictionaries join on the term
-    (shuffle joins at scale — both sides hash-partition on the term)."""
-    term_dict = entity_dict.unionByName(literal_dict)
+    (broadcast when small enough, else shuffle joins — both sides
+    hash-partition on the term)."""
+    from gstored_spark.kg.link import maybe_broadcast
+
+    term_dict = maybe_broadcast(entity_dict.unionByName(literal_dict))
     t = triples.join(
         term_dict.withColumnRenamed("term", "subj").withColumnRenamed("id", "s"), "subj"
     )

@@ -25,6 +25,13 @@ from gstored_spark.operators.dedup import char_shingles
 from gstored_spark.sources.corpus import PRED_NAME
 
 
+def maybe_broadcast(df: DataFrame, limit_rows: int = 5_000_000) -> DataFrame:
+    """Broadcast hint iff the (already materialized) side is small. The
+    count is a cheap job over checkpointed blocks; at web scale the side
+    exceeds the limit and the shuffle join stands."""
+    return F.broadcast(df) if df.count() <= limit_rows else df
+
+
 def light_norm(col) -> "F.Column":
     """Lowercase + collapse whitespace. Deliberately weaker than full
     normalization — hyphen/initial variants survive so canonicalization has
@@ -91,9 +98,12 @@ def linked_triples(mention_triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    links = link_surfaces(surfaces, aliases).localCheckpoint(eager=False)  # used by both joins
-    # no broadcast hint on the surface map: it scales with entity count, so
-    # AQE decides (broadcasts at test scale, shuffle-joins at web scale)
+    links = link_surfaces(surfaces, aliases).localCheckpoint(eager=True)
+    # checkpointed plans lose size statistics, so Catalyst would sort-merge
+    # these joins and shuffle the big mention stream twice; hint broadcast
+    # when the surface map is actually small (adaptive — at web scale the
+    # map outgrows the limit and the hint is withheld)
+    links = maybe_broadcast(links)
     t = mention_triples.join(
         links.withColumnRenamed("surface", "subj_mention")
         .withColumnRenamed("linked", "subj_linked"),
