@@ -245,6 +245,60 @@ def _q_pred_var_join(spark, sf):
     )
 
 
+def _q_bgp_optional(spark, sf):
+    """J4 OPTIONAL over the graph view (GeneralEvaluation.cpp:1217-1269)."""
+    from gstored_spark.plans.bgp import GroupPattern, TriplePattern, eval_group
+
+    g = GroupPattern(
+        patterns=[TriplePattern("?c", "<in_nation>", "nat:5")],
+        optionals=[GroupPattern(patterns=[TriplePattern("?o", "<placed_by>", "?c")])],
+    )
+    return eval_group(_graph_triples(spark, sf), g).select("c", "o")
+
+
+def _q_bgp_union(spark, sf):
+    """U1 bag UNION of two graph branches (doUnion, 1202-1216)."""
+    from gstored_spark.plans.bgp import GroupPattern, TriplePattern, eval_group
+
+    g = GroupPattern(
+        patterns=[],
+        unions=[
+            GroupPattern(patterns=[TriplePattern("?x", "<in_nation>", "nat:1")]),
+            GroupPattern(patterns=[TriplePattern("?x", "<in_nation>", "nat:2")]),
+        ],
+    )
+    return eval_group(_graph_triples(spark, sf), g)
+
+
+def _q_bgp_minus(spark, sf):
+    """J5 MINUS over the graph view (doMinus, 1270-1307)."""
+    from gstored_spark.plans.bgp import GroupPattern, TriplePattern, eval_group
+
+    g = GroupPattern(
+        patterns=[TriplePattern("?c", "<in_nation>", "?n")],
+        minus=[GroupPattern(patterns=[TriplePattern("?o", "<placed_by>", "?c")])],
+    )
+    return eval_group(_graph_triples(spark, sf), g)
+
+
+def _q_bgp_filter(spark, sf):
+    """FILTER applied once its vars are covered (2780-2793): REGEX builtin."""
+    from gstored_spark.plans.bgp import GroupPattern, TriplePattern, eval_group
+
+    g = GroupPattern(
+        patterns=[TriplePattern("?c", "<in_nation>", "?n")],
+        filters=["n rlike 'nat:1.$'"],
+    )
+    return eval_group(_graph_triples(spark, sf), g)
+
+
+def _q_bgp_ask(spark, sf):
+    """ASK existence probe (Main/gqueryD.cpp:108-265 -> LIMIT-1)."""
+    from gstored_spark.plans.bgp import TriplePattern, ask
+
+    return ask(_graph_triples(spark, sf), [TriplePattern("?o", "<placed_by>", "cust:1")])
+
+
 def _q_exists_filter(spark, sf):
     """F7/EXISTS -> leftsemi join (GeneralEvaluation.cpp:2257-2286)."""
     c = _t(spark, sf, "customer")
@@ -441,6 +495,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_triangle": _q_bgp_triangle,
         "bgp_star": _q_bgp_star,
         "pred_var_join": _q_pred_var_join,
+        "bgp_optional": _q_bgp_optional,
+        "bgp_union": _q_bgp_union,
+        "bgp_minus": _q_bgp_minus,
+        "bgp_filter": _q_bgp_filter,
+        "bgp_ask": _q_bgp_ask,
         "exists_filter": _q_exists_filter,
         "regex_filter": _q_regex_filter,
         "scalar_funcs": _q_scalar_funcs,
@@ -548,6 +607,37 @@ def oracle_sql() -> dict[str, str]:
         "pred_var_join": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT subj AS s, pred AS p FROM g WHERE obj = 'nat:3'
+        """,
+        "bgp_optional": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS c, t2.subj AS o
+            FROM g t1 LEFT JOIN g t2
+              ON t2.pred = '<placed_by>' AND t2.obj = t1.subj
+            WHERE t1.pred = '<in_nation>' AND t1.obj = 'nat:5'
+        """,
+        "bgp_union": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS x FROM g WHERE pred = '<in_nation>' AND obj = 'nat:1'
+            UNION ALL
+            SELECT subj AS x FROM g WHERE pred = '<in_nation>' AND obj = 'nat:2'
+        """,
+        "bgp_minus": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS c, t1.obj AS n
+            FROM g t1
+            WHERE t1.pred = '<in_nation>'
+              AND NOT EXISTS (SELECT 1 FROM g t2
+                              WHERE t2.pred = '<placed_by>' AND t2.obj = t1.subj)
+        """,
+        "bgp_filter": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS c, obj AS n FROM g
+            WHERE pred = '<in_nation>' AND regexp_matches(obj, 'nat:1.$')
+        """,
+        "bgp_ask": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT true AS ask WHERE EXISTS (
+                SELECT 1 FROM g WHERE pred = '<placed_by>' AND obj = 'cust:1')
         """,
         "exists_filter": """
             SELECT c_custkey FROM customer c

@@ -159,6 +159,71 @@ def is_star(patterns: list[TriplePattern]) -> bool:
     return len(centers) == 1 and next(iter(centers)).startswith("?")
 
 
+# ---------------------------------------------------------------------------
+# group-graph-pattern algebra (SURVEY §2.7): the reference composes leaf BGP
+# results with join/union/optional/minus/filter units via a postfix stack
+# machine (GeneralEvaluation.cpp:2067-2288); here each unit is one DataFrame
+# combinator and Catalyst is the stack machine.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class GroupPattern:
+    """A SPARQL group graph pattern subset: base BGP + OPTIONAL groups
+    (J4), UNION branches (U1), MINUS groups (J5), FILTER predicates."""
+
+    patterns: list[TriplePattern]
+    optionals: list["GroupPattern"] = None  # type: ignore[assignment]
+    unions: list["GroupPattern"] = None  # type: ignore[assignment]
+    minus: list["GroupPattern"] = None  # type: ignore[assignment]
+    filters: list[str] = None  # Spark SQL boolean exprs over var columns
+
+    def __post_init__(self):
+        self.optionals = self.optionals or []
+        self.unions = self.unions or []
+        self.minus = self.minus or []
+        self.filters = self.filters or []
+
+
+def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
+    """Evaluate a GroupPattern to a bindings DataFrame.
+
+    OPTIONAL -> left_outer on shared vars (TempResult::doOptional,
+    GeneralEvaluation.cpp:1217-1269); MINUS -> left_anti
+    (doMinus, 1270-1307); UNION -> unionByName allowMissingColumns
+    (doUnion, 1202-1216 keeps per-varset groups — missing vars are NULL
+    here, the unbound analog); FILTER applied as soon as its vars are
+    covered (2780-2793)."""
+    acc = match_bgp(triples, g.patterns) if g.patterns else None
+    for branch in g.unions:
+        b = eval_group(triples, branch)
+        acc = b if acc is None else acc.unionByName(b, allowMissingColumns=True)
+    assert acc is not None, "empty group pattern"
+    for f in g.filters:
+        acc = acc.filter(F.expr(f))
+    for opt in g.optionals:
+        o = eval_group(triples, opt)
+        shared = [c for c in acc.columns if c in o.columns]
+        acc = acc.join(o, shared, "left_outer") if shared else acc.crossJoin(o)
+    for m in g.minus:
+        mdf = eval_group(triples, m)
+        shared = [c for c in acc.columns if c in mdf.columns]
+        if shared:
+            acc = acc.join(mdf.select(*shared).distinct(), shared, "left_anti")
+    return acc
+
+
+def ask(triples: DataFrame, patterns: list[TriplePattern]) -> DataFrame:
+    """ASK: existence of any match (the reference's distributed ASK path
+    assembles LEC features, Main/gqueryD.cpp:108-265; in Spark existence is
+    a LIMIT-1 probe — one row (ask=true) or zero rows)."""
+    return (
+        match_bgp(triples, patterns)
+        .limit(1)
+        .select(F.lit(True).alias("ask"))
+    )
+
+
 def modifiers(
     df: DataFrame,
     distinct: bool = False,

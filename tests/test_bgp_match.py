@@ -114,3 +114,46 @@ def test_modifiers(spark):
     )
     out = modifiers(t, distinct=True, order_by=[("k", True)], limit=2, offset=1)
     assert [r["k"] for r in out.collect()] == ["b", "c"]
+
+
+def test_group_pattern_algebra(spark):
+    from gstored_spark.plans.bgp import GroupPattern, ask, eval_group
+
+    t = spark.createDataFrame(
+        [("<a>", "<p>", "<b>"), ("<c>", "<p>", "<d>"),
+         ("<b>", "<q>", "<x>"), ("<a>", "<r>", "<y>")],
+        ["subj", "pred", "obj"],
+    )
+    # OPTIONAL pads unmatched with NULL (doOptional semantics)
+    g = GroupPattern(
+        patterns=[TriplePattern("?s", "<p>", "?o")],
+        optionals=[GroupPattern(patterns=[TriplePattern("?o", "<q>", "?z")])],
+    )
+    rows = {(r["s"], r["o"], r["z"]) for r in eval_group(t, g).collect()}
+    assert rows == {("<a>", "<b>", "<x>"), ("<c>", "<d>", None)}
+    # MINUS removes compatible rows
+    g = GroupPattern(
+        patterns=[TriplePattern("?s", "<p>", "?o")],
+        minus=[GroupPattern(patterns=[TriplePattern("?s", "<r>", "?y")])],
+    )
+    rows = {(r["s"], r["o"]) for r in eval_group(t, g).collect()}
+    assert rows == {("<c>", "<d>")}
+    # UNION is bag semantics with null-padded missing vars
+    g = GroupPattern(
+        patterns=[],
+        unions=[
+            GroupPattern(patterns=[TriplePattern("?s", "<p>", "?o")]),
+            GroupPattern(patterns=[TriplePattern("?s", "<q>", "?w")]),
+        ],
+    )
+    out = eval_group(t, g)
+    assert out.count() == 3 and set(out.columns) == {"s", "o", "w"}
+    # FILTER
+    g = GroupPattern(
+        patterns=[TriplePattern("?s", "<p>", "?o")],
+        filters=["o = '<b>'"],
+    )
+    assert [tuple(r) for r in eval_group(t, g).collect()] == [("<a>", "<b>")]
+    # ASK
+    assert ask(t, [TriplePattern("<a>", "<p>", "?x")]).count() == 1
+    assert ask(t, [TriplePattern("<zz>", "<p>", "?x")]).count() == 0
