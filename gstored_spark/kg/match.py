@@ -1,0 +1,117 @@
+"""Verification BGP matcher over the pipeline's emitted artifacts, with the
+reference's two pruning mechanisms re-expressed on DataFrames:
+
+1. **Query-variable signatures** (BasicQuery::encodeBasicQuery,
+   Query/BasicQuery.cpp:362-540, updateSubSig/updateObjSig 309-359): each
+   query var accumulates bits from its *constant* neighbors and incident
+   predicates using the same formulas as the data side — then candidate
+   entities are those whose stored signature is a bit-superset
+   (VSTree::retrieveEntity, VSTree/VSTree.cpp:1482-1589; driven from
+   Strategy::handler0_0, Database/Strategy.cpp:566-586). Here: a
+   `covers(sig, qsig)` column filter over the signatures table, semi-joined
+   into the BGP join chain.
+
+2. **Partition pruning** (VS*-tree upper levels — parent = OR of children,
+   VSTree.cpp:146-219): partitions whose OR-aggregate signature does not
+   cover a var's query signature cannot contain a candidate; whole
+   adjacency partitions are skipped before any scan.
+
+Like the reference, only vars of degree >= 2 are worth prefiltering
+(Strategy.cpp:566-586 retrieves for >=2-degree vars; satellites are cheaper
+to resolve during the join).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, functions as F
+
+from gstored_spark.functions.signature import (
+    covers,
+    edge_bits,
+    pack_bits,
+    str_bits,
+)
+from gstored_spark.plans.bgp import TriplePattern, match_bgp
+
+
+def query_var_signatures(
+    patterns: list[TriplePattern], pred_ids: dict[str, int]
+) -> dict[str, list[int]]:
+    """var name (no '?') -> packed query signature words.
+
+    Bits: for each pattern where the var is subject — out-edge predicate bit
+    + neighbor-string bits of a constant object; where the var is object —
+    in-edge predicate bit + neighbor bits of a constant subject. Unknown
+    predicates (not in the data dictionary) contribute nothing — exactly the
+    encode-time behavior of a var with an unmatchable edge."""
+    sigs: dict[str, list[int]] = defaultdict(list)
+    for p in patterns:
+        pid = pred_ids.get(p.p)
+        if p.s.startswith("?"):
+            v = p.s[1:]
+            if pid is not None:
+                sigs[v] += edge_bits(pid, is_out=True)
+            if not p.o.startswith("?"):
+                sigs[v] += str_bits(p.o)
+        if p.o.startswith("?"):
+            v = p.o[1:]
+            if pid is not None:
+                sigs[v] += edge_bits(pid, is_out=False)
+            if not p.s.startswith("?"):
+                sigs[v] += str_bits(p.s)
+    return {v: pack_bits(bits) for v, bits in sigs.items()}
+
+
+def var_degrees(patterns: list[TriplePattern]) -> dict[str, int]:
+    deg: dict[str, int] = defaultdict(int)
+    for p in patterns:
+        for term in (p.s, p.o):
+            if term.startswith("?"):
+                deg[term[1:]] += 1
+    return deg
+
+
+def candidate_terms(
+    signatures: DataFrame, entity_dict: DataFrame, qsig: list[int]
+) -> DataFrame:
+    """signatures(v, sig) + entity_dict(term, id) -> candidate IRIs whose
+    stored signature covers the query signature (F1)."""
+    lit = F.array(*[F.lit(w).cast("long") for w in qsig])
+    cand = signatures.filter(covers(F.col("sig"), lit)).select("v")
+    return cand.join(
+        entity_dict.select(F.col("id").alias("v"), F.col("term")), "v"
+    ).select("term")
+
+
+def pruned_partitions(part_sig: DataFrame, qsig: list[int]) -> DataFrame:
+    """part_sig(part, sig) -> parts that MAY contain candidates (VS*-tree
+    node-level pruning analog). Partitions not returned are skipped."""
+    lit = F.array(*[F.lit(w).cast("long") for w in qsig])
+    return part_sig.filter(covers(F.col("sig"), lit)).select("part")
+
+
+def match_with_signatures(
+    triples: DataFrame,
+    signatures: DataFrame,
+    entity_dict: DataFrame,
+    pred_dict: DataFrame,
+    patterns: list[TriplePattern],
+    projection: list[str] | None = None,
+    min_degree: int = 2,
+) -> DataFrame:
+    """BGP match with signature-prefiltered candidate semi-joins.
+
+    Semantically identical to plans.bgp.match_bgp; the prefilter only
+    shrinks the join inputs (signature containment is a necessary
+    condition for a var binding — Signature/SigEntry.h:31-32)."""
+    pred_ids = {r["term"]: r["id"] for r in pred_dict.collect()}
+    qsigs = query_var_signatures(patterns, pred_ids)
+    degrees = var_degrees(patterns)
+    candidates = {
+        v: candidate_terms(signatures, entity_dict, qsig)
+        for v, qsig in qsigs.items()
+        if degrees.get(v, 0) >= min_degree
+    }
+    return match_bgp(triples, patterns, projection=projection, candidates=candidates)

@@ -113,17 +113,31 @@ def greedy_order(patterns: list[TriplePattern]) -> list[int]:
 
 
 def match_bgp(
-    triples: DataFrame, patterns: list[TriplePattern], projection: list[str] | None = None
+    triples: DataFrame,
+    patterns: list[TriplePattern],
+    projection: list[str] | None = None,
+    candidates: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """triples(subj, pred, obj) x BGP -> bindings DataFrame (one column per
     var, no '?' prefix). Disconnected components become cross joins (the
     reference splits them into separate BasicQueries then products,
-    GeneralEvaluation.cpp:494-550)."""
+    GeneralEvaluation.cpp:494-550).
+
+    ``candidates``: optional var -> single-column DataFrame of allowed
+    bindings, semi-joined into each *leaf* pattern view before any join —
+    the signature-prefilter hook (F1): leaves shrink, so every downstream
+    shuffle shrinks."""
     order = greedy_order(patterns)
     acc: DataFrame | None = None
     acc_vars: set[str] = set()
     for idx in order:
         pdf, pvars = _pattern_df(triples, patterns[idx], idx)
+        if candidates:
+            for v in pvars:
+                name = v[1:]
+                if name in candidates:
+                    cand = candidates[name].toDF(name)
+                    pdf = pdf.join(cand, name, "leftsemi")
         if acc is None:
             acc, acc_vars = pdf, pvars
             continue
