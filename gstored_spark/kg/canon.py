@@ -115,6 +115,57 @@ def canonical_map(
     )
 
 
+def canonical_triples_from_mentions(
+    mentions: DataFrame, tau: float = 0.8, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Fused link+canonicalize: mention triples -> canonical string triples
+    with ONE pair of joins against the big mention stream.
+
+    The link map (surface -> dictionary name, kg/link.py) and the canonical
+    map (name -> IRI) are composed on the *small* surface table first;
+    the 10^9-row mention stream is touched exactly twice (subject join,
+    object join). This halves the full-stream shuffle/join work vs the
+    staged link-then-canonicalize path (which remains available for
+    stage-by-stage inspection/tests)."""
+    from gstored_spark.kg.link import alias_dictionary, link_surfaces, maybe_broadcast
+
+    aliases = alias_dictionary(mentions)
+    surfaces = (
+        mentions.select(F.col("subj_mention").alias("surface"))
+        .unionAll(
+            mentions.filter("o_is_entity").select(F.col("obj_mention").alias("surface"))
+        )
+        .distinct()
+    )
+    links = link_surfaces(surfaces, aliases).localCheckpoint(eager=True)
+    linked_names = links.select(F.col("linked").alias("surface")).distinct()
+    cmap = canonical_map(
+        linked_names, tau=tau, checkpoint_dir=checkpoint_dir
+    )
+    composed = maybe_broadcast(
+        links.join(
+            cmap.withColumnRenamed("surface", "linked"), "linked"
+        ).select("surface", "canonical_iri").localCheckpoint(eager=True)
+    )
+    t = mentions.join(
+        composed.withColumnRenamed("surface", "subj_mention").withColumnRenamed(
+            "canonical_iri", "subj"
+        ),
+        "subj_mention",
+    )
+    t = t.join(
+        composed.withColumnRenamed("surface", "obj_mention").withColumnRenamed(
+            "canonical_iri", "obj_iri"
+        ),
+        "obj_mention",
+        "left",
+    )
+    obj = F.when(F.col("o_is_entity"), F.col("obj_iri")).otherwise(
+        F.concat(F.lit('"'), F.col("obj_mention"), F.lit('"@en'))
+    )
+    return t.select("subj", "pred", obj.alias("obj"), "o_is_entity", "url").distinct()
+
+
 def canonical_triples(
     linked: DataFrame, tau: float = 0.8, checkpoint_dir: str | None = None
 ) -> DataFrame:

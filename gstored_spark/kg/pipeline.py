@@ -66,10 +66,9 @@ def run_pipeline(
 
     docs = stage("extracted", E.extracted(documents))
     mentions = stage("mention_triples", Tr.mention_triples(docs))
-    linked = stage("linked", L.linked_triples(mentions))
     triples = stage(
         "canonical_triples",
-        C.canonical_triples(linked, checkpoint_dir=canon_checkpoint_dir),
+        C.canonical_triples_from_mentions(mentions, checkpoint_dir=canon_checkpoint_dir),
     )
 
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
@@ -108,4 +107,4 @@ def run_pipeline(
 def triples_from_documents(spark: SparkSession, documents: DataFrame) -> DataFrame:
     """Shortcut: documents -> canonical string triples (the P/R surface)."""
     docs = E.extracted(documents)
-    return C.canonical_triples(L.linked_triples(Tr.mention_triples(docs)))
+    return C.canonical_triples_from_mentions(Tr.mention_triples(docs))
