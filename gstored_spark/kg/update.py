@@ -1,0 +1,120 @@
+"""§2.10 update operators: batch INSERT DATA / DELETE DATA with
+partition-scoped index maintenance.
+
+The reference updates all 12+6 B+-trees plus the VS*-tree per triple
+(Database::insert/remove, Database/Database.cpp:3038-3200, insertTriple
+2734-2920); free-listed ID allocation reuses holes
+(initIDinfo, Database.cpp:89-273). The Spark-native equivalent:
+
+- new terms get IDs appended after the current namespace maximum
+  (allocation is append-only here; snapshots make hole-reuse unnecessary),
+- the id-triple set is a distinct union minus deletes,
+- only the *affected partitions* — owner(subject) plus owner(entity
+  object) of every touched triple, exactly the partitions whose adjacency
+  the reference would touch — are rebuilt; all other partition blocks are
+  carried over unchanged (MERGE-INTO-shaped incremental maintenance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from gstored_spark.kg.blocks import adjacency
+from gstored_spark.kg.ids import LITERAL_FIRST_ID, assign_dense_ids
+from gstored_spark.kg.partition import internal_vertices, route_triples
+
+
+def extend_dictionaries(
+    new_triples: DataFrame,
+    entity_dict: DataFrame,
+    literal_dict: DataFrame,
+    pred_dict: DataFrame,
+):
+    """Allocate IDs for unseen terms after each namespace's current max
+    (append-only; the reference's free-list reuse is a mutable-store
+    concern that snapshots obviate)."""
+    spark = new_triples.sparkSession
+
+    def next_id(d: DataFrame, floor: int) -> int:
+        row = d.agg(F.max("id").alias("m")).first()
+        return (row["m"] + 1) if row["m"] is not None else floor
+
+    new_entities = (
+        new_triples.select(F.col("subj").alias("term"))
+        .unionAll(new_triples.filter("o_is_entity").select(F.col("obj").alias("term")))
+        .distinct()
+        .join(entity_dict.select("term"), "term", "left_anti")
+    )
+    new_literals = (
+        new_triples.filter(~F.col("o_is_entity"))
+        .select(F.col("obj").alias("term"))
+        .distinct()
+        .join(literal_dict.select("term"), "term", "left_anti")
+    )
+    entity_dict2 = entity_dict.unionByName(
+        assign_dense_ids(new_entities, "term", next_id(entity_dict, 0))
+    )
+    literal_dict2 = literal_dict.unionByName(
+        assign_dense_ids(new_literals, "term", next_id(literal_dict, LITERAL_FIRST_ID))
+    )
+    known = {r["term"] for r in pred_dict.collect()}
+    new_preds = sorted(
+        r["term"]
+        for r in new_triples.select(F.col("pred").alias("term")).distinct().collect()
+        if r["term"] not in known
+    )
+    if new_preds:
+        base = pred_dict.count()
+        pred_dict2 = pred_dict.unionByName(
+            spark.createDataFrame(
+                [(t, base + i) for i, t in enumerate(new_preds)],
+                schema="term string, id long",
+            )
+        )
+    else:
+        pred_dict2 = pred_dict
+    return entity_dict2, literal_dict2, pred_dict2
+
+
+def apply_updates(
+    id_triples: DataFrame,
+    inserts: DataFrame | None,
+    deletes: DataFrame | None,
+) -> DataFrame:
+    """id-level MERGE: distinct(existing ∪ inserts) minus deletes.
+    Inputs/outputs: (s, p, o, o_is_entity)."""
+    out = id_triples
+    cols = ["s", "p", "o", "o_is_entity"]
+    if inserts is not None:
+        out = out.select(cols).unionByName(inserts.select(cols)).distinct()
+    if deletes is not None:
+        out = out.join(deletes.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
+    return out
+
+
+def affected_partitions(changed: DataFrame, n_parts: int) -> DataFrame:
+    """Partitions whose adjacency blocks a change set touches: the
+    subject's owner plus (crossing replication!) the entity object's owner
+    (gloadD.cpp:127-146 routing)."""
+    from gstored_spark.kg.partition import owner
+
+    subj = changed.select(owner(F.col("s"), n_parts).alias("part"))
+    obj = changed.filter("o_is_entity").select(owner(F.col("o"), n_parts).alias("part"))
+    return subj.unionAll(obj).distinct()
+
+
+def incremental_adjacency(
+    old_adjacency: DataFrame,
+    new_id_triples: DataFrame,
+    changed: DataFrame,
+    n_parts: int,
+) -> DataFrame:
+    """Rebuild only the affected partitions' adjacency; keep the rest."""
+    parts = affected_partitions(changed, n_parts)
+    routed = route_triples(new_id_triples, n_parts).join(
+        F.broadcast(parts), "part", "leftsemi"
+    )
+    internal = internal_vertices(routed, n_parts)
+    rebuilt = adjacency(routed, internal)
+    kept = old_adjacency.join(F.broadcast(parts), "part", "left_anti")
+    return kept.unionByName(rebuilt)
