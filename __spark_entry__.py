@@ -449,14 +449,14 @@ def _q_content_fp(spark, sf):
 
 
 def _q_winnow(spark, sf):
-    """Winnowing rolling-hash fingerprints (rows-only: verified vs the
-    pure-python reference in tests)."""
-    from gstored_spark.operators.textstats import winnowed
+    """Winnowing fingerprints, md5-k-gram family: map-only Arrow UDF (the
+    scale shape) returning scalar (doc_id, n_fp, fp_hash); the identical
+    selection is reproduced by the pure-built-in twin (tested) and by the
+    DuckDB window-function oracle."""
+    from gstored_spark.operators.textstats import winnow_features
 
     d = _t(spark, sf, "documents")
-    return winnowed(d, "doc_id", "text").select(
-        "doc_id", F.size("winnow_fp").alias("n_fp"), F.col("winnow_fp")
-    )
+    return winnow_features(d, "doc_id", "text")
 
 
 def _q_mm_bytes(spark, sf):
@@ -810,6 +810,37 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
         "content_fp": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+        "winnow": f"""
+            WITH b AS (
+                SELECT doc_id, {_NORM} AS s FROM documents
+                WHERE length({_NORM}) >= 5
+            ),
+            g AS (
+                SELECT doc_id, unnest(range(1, length(s) - 4 + 1)) AS pos,
+                       length(s) - 4 AS n, s
+                FROM b
+            ),
+            h AS (
+                SELECT doc_id, pos, n,
+                       md5(substring(s, CAST(pos AS INT), 5)) AS h
+                FROM g
+            ),
+            w AS (
+                SELECT doc_id, pos, n,
+                       min(h || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0'))
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel
+                FROM h
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, substring(sel, 1, 32) AS h,
+                       100000000 - CAST(substring(sel, 33, 9) AS BIGINT) AS p
+                FROM w WHERE pos <= greatest(n - 7, 1)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+                   md5(string_agg(h, ',' ORDER BY p)) AS fp_hash
+            FROM sel GROUP BY doc_id
+        """,
         "mm_bytes": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -15,7 +15,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from gstored_spark.operators.dedup import normalized_text, tokens
 
@@ -118,7 +118,18 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-# ---- winnowing rolling-hash fingerprint (pandas UDF; tested vs pure-python)
+# ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) --------
+#
+# Two hash families:
+#   * the original rolling polynomial hash (winnow_fingerprint /
+#     winnowed) — kept as the cheapest per-char scheme, verified against a
+#     pure-python reference in tests;
+#   * an md5-k-gram variant (winnow_features*) whose selection is
+#     reproducible in ANSI SQL, giving the operator a real DuckDB oracle.
+#     It exists in two equivalent shapes: a map-only Arrow UDF (the 100 TB
+#     path — no shuffle, one pass per document) and a pure-built-in
+#     window-function twin (JVM-side, used to cross-check the UDF and as
+#     the blueprint for the oracle SQL).
 
 _B = 1000003
 _M = (1 << 61) - 1
@@ -167,4 +178,96 @@ def winnow_fingerprint_udf(text: pd.Series) -> pd.Series:
 def winnowed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), winnow_fingerprint_udf(F.col(text_col)).alias("winnow_fp")
+    )
+
+
+# ---- md5-k-gram winnowing with a SQL-expressible selection ------------------
+
+def winnow_md5(text: str, k: int = _GRAM, window: int = _WINDOW) -> tuple[int, str | None]:
+    """(n_fp, fp_hash) for one document: md5 each char k-gram of the
+    normalized text, slide a ``window``-gram window picking the min hash
+    (rightmost position on ties), fingerprint = distinct selected hashes in
+    position order, fp_hash = md5(','-joined hashes). Documents shorter than
+    k grams yield (0, None)."""
+    import hashlib
+
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return 0, None
+    hs = [hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest() for i in range(len(s) - k + 1)]
+    n = len(hs)
+    sel: set[tuple[int, str]] = set()
+    for w in range(max(n - window + 1, 1)):
+        frame = hs[w : w + window]
+        best = min(range(len(frame)), key=lambda j: (frame[j], -j))
+        sel.add((w + best, frame[best]))
+    ordered = [h for _, h in sorted(sel)]
+    return len(ordered), hashlib.md5(",".join(ordered).encode("utf-8")).hexdigest()
+
+
+@pandas_udf(
+    StructType(
+        [StructField("n_fp", LongType()), StructField("fp_hash", StringType())]
+    )
+)
+def winnow_md5_udf(text: pd.Series) -> pd.DataFrame:
+    rows = [winnow_md5(t) if t is not None else (0, None) for t in text]
+    return pd.DataFrame(rows, columns=["n_fp", "fp_hash"])
+
+
+def winnow_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Map-only winnowing -> (id, n_fp, fp_hash). The 100 TB shape: one
+    Arrow batch pass, no shuffle; selection identical to
+    winnow_features_sql (asserted in tests) and to the DuckDB oracle."""
+    out = df.select(F.col(id_col), winnow_md5_udf(F.col(text_col)).alias("w")).select(
+        id_col, F.col("w.n_fp").alias("n_fp"), F.col("w.fp_hash").alias("fp_hash")
+    )
+    return out.filter(F.col("n_fp") > 0)
+
+
+def winnow_features_sql(
+    df: DataFrame, id_col: str, text_col: str, k: int = _GRAM, window: int = _WINDOW
+) -> DataFrame:
+    """Pure-built-in twin of winnow_features: explode k-gram positions,
+    window-min with a (hash asc, pos desc) composite key encoded as
+    ``h || lpad(10^8 - pos)`` so the string min realizes the rightmost-min
+    tie-break, then reassemble per document. Shuffles once per doc on the
+    window sort — use winnow_features for the map-only shape."""
+    from pyspark.sql.window import Window
+
+    s = normalized_text(F.col(text_col))
+    base = df.select(F.col(id_col), s.alias("s")).filter(F.length("s") >= k)
+    grams = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.length("s") - (k - 1))).alias("pos"),
+        (F.length("s") - (k - 1)).alias("n"),
+        F.col("s"),
+    ).select(
+        id_col,
+        "pos",
+        "n",
+        F.md5(F.col("s").substr(F.col("pos"), F.lit(k))).alias("h"),
+    )
+    key = F.concat(
+        F.col("h"), F.lpad((F.lit(100_000_000) - F.col("pos")).cast("string"), 9, "0")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    starts = grams.withColumn("sel", F.min(key).over(w)).filter(
+        F.col("pos") <= F.greatest(F.col("n") - (window - 1), F.lit(1))
+    )
+    selected = starts.select(
+        id_col,
+        F.substring("sel", 1, 32).alias("h"),
+        (F.lit(100_000_000) - F.substring("sel", 33, 9).cast("long")).alias("p"),
+    ).distinct()
+    return selected.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "h"))), lambda x: x["h"]
+                ),
+                ",",
+            )
+        ).alias("fp_hash"),
     )

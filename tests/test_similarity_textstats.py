@@ -109,3 +109,18 @@ def test_winnow_matches_pure_python(spark):
     shifted = "PREFIX " + texts[0][1]
     common = set(got[1]) & set(TS.winnow_fingerprint(shifted))
     assert len(common) / len(set(got[1])) > 0.8
+
+
+def test_winnow_md5_udf_matches_sql_twin(spark):
+    """The map-only Arrow path and the pure-built-in window-function path
+    must select identical fingerprints (same oracle-checked semantics)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    a = {r["doc_id"]: (r["n_fp"], r["fp_hash"])
+         for r in TS.winnow_features(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: (r["n_fp"], r["fp_hash"])
+         for r in TS.winnow_features_sql(docs, "doc_id", "text").collect()}
+    assert a == b and len(a) > 0
+    # and both agree with the plain-python reference on one doc
+    some_id, (n_fp, fp_hash) = next(iter(a.items()))
+    text = docs.filter(F.col("doc_id") == some_id).first()["text"]
+    assert TS.winnow_md5(text) == (n_fp, fp_hash)
