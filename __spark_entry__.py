@@ -299,6 +299,69 @@ def _q_bgp_ask(spark, sf):
     return ask(_graph_triples(spark, sf), [TriplePattern("?o", "<placed_by>", "cust:1")])
 
 
+def _q_bgp_parsed(spark, sf):
+    """SPARQL *text* front-end (Parser/QueryParser.cpp surface): tokenizer +
+    recursive-descent parser -> GroupPattern algebra; REGEX filter,
+    DISTINCT, ORDER BY, LIMIT exercised from text."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    text = """
+        SELECT DISTINCT ?c ?n WHERE {
+            ?o <placed_by> ?c .
+            ?c <in_nation> ?n .
+            FILTER (REGEX(?n, "nat:1.$") && ?c != ?n)
+        } ORDER BY ?c ?n LIMIT 100
+    """
+    return run_sparql(_graph_triples(spark, sf), text)
+
+
+def _q_term_funcs(spark, sf):
+    """RDF-term builtins (QueryTree.h:118-119, GeneralEvaluation.cpp:
+    1535-1851): STR/LANG/DATATYPE/isIRI/isLITERAL/numeric extraction as pure
+    column expressions over the four stored lexical forms."""
+    from gstored_spark.functions import terms as T
+
+    c = _t(spark, sf, "customer")
+    term = F.explode(
+        F.array(
+            F.concat(F.lit("<cust:"), F.col("c_custkey").cast("string"), F.lit(">")),
+            F.concat(F.lit('"'), F.col("c_name"), F.lit('"@en')),
+            F.concat(
+                F.lit('"'),
+                F.col("c_nationkey").cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ),
+            F.concat(F.lit('"'), F.col("c_mktsegment"), F.lit('"')),
+        )
+    ).alias("term")
+    t = c.select(F.col("c_custkey"), term)
+    return t.select(
+        "c_custkey",
+        "term",
+        T.str_of(F.col("term")).alias("str_val"),
+        T.lang_of(F.col("term")).alias("lang"),
+        T.datatype_of(F.col("term")).alias("dt"),
+        T.is_iri(F.col("term")).alias("is_iri"),
+        T.is_literal(F.col("term")).alias("is_lit"),
+        T.num_of(F.col("term")).alias("num"),
+    )
+
+
+def _q_delete_where(spark, sf):
+    """DELETE WHERE (GeneralEvaluation.cpp:3008-3065): match the BGP,
+    substitute bindings into each pattern, anti-join the matched triples out
+    of the store; returns the post-delete triple set."""
+    from gstored_spark.kg.update import delete_where_triples
+    from gstored_spark.plans.bgp import TriplePattern
+
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "nat:3"),
+    ]
+    t = _graph_triples(spark, sf)
+    return delete_where_triples(t, pats).select("subj", "pred", "obj")
+
+
 def _q_exists_filter(spark, sf):
     """F7/EXISTS -> leftsemi join (GeneralEvaluation.cpp:2257-2286)."""
     c = _t(spark, sf, "customer")
@@ -377,31 +440,14 @@ def _q_simhash(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    """Exact token-set Jaccard pairs >= 0.8 among doc_id < 200."""
-    from gstored_spark.operators.dedup import tokens
+    """Exact token-set Jaccard pairs >= 0.8 over the whole documents table;
+    candidate generation capped at document frequency 100 (the inverted
+    index drops stop-tokens whose buckets would square the pair join —
+    operators/dedup.ngram_jaccard_pairs)."""
+    from gstored_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    ).filter(F.col("tok") != "")
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
-        toks.select(F.col("doc_id").alias("a"), "tok")
-        .join(toks.select(F.col("doc_id").alias("b"), "tok"), "tok")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = (
-        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= 0.8)
-    )
-    return j.select("a", "b", "jaccard")
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.8, max_doc_freq=100)
 
 
 def _q_ann_topk(spark, sf):
@@ -500,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus": _q_bgp_minus,
         "bgp_filter": _q_bgp_filter,
         "bgp_ask": _q_bgp_ask,
+        "bgp_parsed": _q_bgp_parsed,
+        "term_funcs": _q_term_funcs,
+        "delete_where": _q_delete_where,
         "exists_filter": _q_exists_filter,
         "regex_filter": _q_regex_filter,
         "scalar_funcs": _q_scalar_funcs,
@@ -639,6 +688,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT true AS ask WHERE EXISTS (
                 SELECT 1 FROM g WHERE pred = '<placed_by>' AND obj = 'cust:1')
         """,
+        "bgp_parsed": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT DISTINCT t1.obj AS c, t2.obj AS n
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND regexp_matches(t2.obj, 'nat:1.$') AND t1.obj <> t2.obj
+            ORDER BY c, n LIMIT 100
+        """,
+        "term_funcs": """
+            WITH t AS (
+                SELECT c_custkey, unnest([
+                    '<cust:' || c_custkey || '>',
+                    '"' || c_name || '"@en',
+                    '"' || c_nationkey || '"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                    '"' || c_mktsegment || '"'
+                ]) AS term
+                FROM customer
+            )
+            SELECT c_custkey, term,
+                   CASE WHEN term LIKE '<%'
+                        THEN regexp_extract(term, '^<(.*)>$', 1)
+                        ELSE regexp_extract(term, '^"((?:[^"\\\\]|\\\\.)*)"', 1)
+                   END AS str_val,
+                   CASE WHEN term LIKE '"%'
+                        THEN lower(regexp_extract(term,
+                             '^"(?:[^"\\\\]|\\\\.)*"@([A-Za-z0-9\\-]+)$', 1))
+                        ELSE '' END AS lang,
+                   CASE WHEN term NOT LIKE '"%' THEN NULL
+                        WHEN regexp_extract(term, '\\^\\^<(.*)>$', 1) <> ''
+                        THEN '<' || regexp_extract(term, '\\^\\^<(.*)>$', 1) || '>'
+                        WHEN term LIKE '%@en'
+                        THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>'
+                        ELSE '<http://www.w3.org/2001/XMLSchema#string>'
+                   END AS dt,
+                   term LIKE '<%' AS is_iri,
+                   term LIKE '"%' AS is_lit,
+                   CAST(CASE WHEN term LIKE '%^^<http://www.w3.org/2001/XMLSchema#integer>'
+                             THEN regexp_extract(term, '^"([^"]*)"', 1)
+                        END AS DOUBLE) AS num
+            FROM t
+        """,
+        "delete_where": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            b AS (
+                SELECT t1.subj AS o, t1.obj AS c
+                FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+                WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+                  AND t2.obj = 'nat:3'
+            ),
+            doomed AS (
+                SELECT o AS subj, '<placed_by>' AS pred, c AS obj FROM b
+                UNION
+                SELECT c, '<in_nation>', 'nat:3' FROM b
+            )
+            SELECT g.subj, g.pred, g.obj FROM g
+            WHERE NOT EXISTS (SELECT 1 FROM doomed d
+                              WHERE d.subj = g.subj AND d.pred = g.pred
+                                AND d.obj = g.obj)
+        """,
         "exists_filter": """
             SELECT c_custkey FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -726,17 +834,27 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT DISTINCT doc_id, tok FROM (
                     SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
-                    FROM documents WHERE doc_id < 200
+                    FROM documents
                 ) WHERE tok <> ''
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+            idx AS (SELECT t.doc_id, t.tok FROM toks t JOIN dfreq USING (tok)
+                    WHERE df <= 100),
             pairs AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-                FROM toks x JOIN toks y ON x.tok = y.tok
-                WHERE x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM idx x JOIN idx y ON x.tok = y.tok
+                WHERE x.doc_id < y.doc_id
+            ),
+            inter AS (
+                SELECT p.a, p.b, count(*) AS inter
+                FROM pairs p
+                JOIN toks ta ON ta.doc_id = p.a
+                JOIN toks tb ON tb.doc_id = p.b AND tb.tok = ta.tok
+                GROUP BY p.a, p.b
             )
             SELECT a, b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.8
         """,
         "ann_topk": """

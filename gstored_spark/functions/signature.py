@@ -84,12 +84,33 @@ def pack_bits(positions: list[int]) -> list[int]:
 def contribution_bits_udf(
     neighbor: pd.Series, pre_id: pd.Series, is_out: pd.Series
 ) -> pd.Series:
-    return pd.Series(
-        [
-            contribution_bits(n, int(p), bool(o))
-            for n, p, o in zip(neighbor, pre_id, is_out)
-        ]
+    """Vectorized over the Arrow batch: the three signature hashes run
+    column-wise over a padded byte matrix (functions/hashing.py batch
+    family) — one numpy op per byte *position*, no per-byte interpreter
+    loop. Bit-exact to contribution_bits (asserted in tests)."""
+    import numpy as np
+
+    from gstored_spark.functions.hashing import hash_family_batch
+
+    n = neighbor.fillna("").to_numpy(dtype=object)
+    h = hash_family_batch(n)  # (3, B)
+    first = np.array([s[0] if s else "?" for s in n])
+    valid = first != "?"
+    off = np.where(first == '"', STR_SIG_LENGTH2, 0)
+    p0 = h[0] % STR_SIG_BASE + off
+    p1 = STR_SIG_BASE + h[1] % STR_SIG_BASE + off
+    p2 = 2 * STR_SIG_BASE + h[2] % STR_SIG_BASE + off
+    pid = pre_id.to_numpy(dtype=np.int64)
+    interval = pid % EDGE_SIG_INTERVAL_NUM_HALF + np.where(
+        is_out.to_numpy(dtype=bool), EDGE_SIG_INTERVAL_NUM_HALF, 0
     )
+    edge = (
+        STR_SIG_LENGTH
+        + EDGE_SIG_INTERVAL_BASE * interval
+        + (pid * 5003 % 49957) % EDGE_SIG_INTERVAL_BASE
+    )
+    mat = np.column_stack([p0, p1, p2, edge]).astype(np.int32).tolist()
+    return pd.Series([row if v else row[3:] for row, v in zip(mat, valid)])
 
 
 def sig_words_from_bits(df, key_cols: list[str], bits_col: str = "bits"):

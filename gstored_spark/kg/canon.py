@@ -22,10 +22,6 @@ Literals are normalized to the reference's lexical forms
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
-
-import pandas as pd
 
 from gstored_spark.operators.cc import components_with_singletons
 from gstored_spark.operators.dedup import (
@@ -35,12 +31,7 @@ from gstored_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
 )
-from gstored_spark.sources.corpus import normalize_mention
-
-
-@pandas_udf(StringType())
-def normalize_mention_udf(s: pd.Series) -> pd.Series:
-    return s.map(normalize_mention)
+from gstored_spark.sources.corpus import normalize_mention_col
 
 
 def entity_surfaces(linked: DataFrame) -> DataFrame:
@@ -79,7 +70,7 @@ def surface_components(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     normed = surfaces.select(
-        "surface", normalize_mention_udf(F.col("surface")).alias("norm")
+        "surface", normalize_mention_col(F.col("surface")).alias("norm")
     )
     hubs = normed.groupBy("norm").agg(F.min("surface").alias("hub"))
     norm_edges = (
@@ -102,7 +93,7 @@ def canonical_map(
     the surface's component — parallelism-independent (SURVEY §7 hard-part
     1: sort-based tie-breaks, no monotonically_increasing_id)."""
     comps = surface_components(surfaces, tau=tau, checkpoint_dir=checkpoint_dir)
-    normed = comps.withColumn("norm", normalize_mention_udf(F.col("surface")))
+    normed = comps.withColumn("norm", normalize_mention_col(F.col("surface")))
     reps = normed.groupBy("component").agg(F.min("norm").alias("rep_norm"))
     return (
         normed.join(reps, "component")

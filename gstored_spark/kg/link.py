@@ -26,10 +26,13 @@ from gstored_spark.sources.corpus import PRED_NAME
 
 
 def maybe_broadcast(df: DataFrame, limit_rows: int = 5_000_000) -> DataFrame:
-    """Broadcast hint iff the (already materialized) side is small. The
-    count is a cheap job over checkpointed blocks; at web scale the side
-    exceeds the limit and the shuffle join stands."""
-    return F.broadcast(df) if df.count() <= limit_rows else df
+    """Broadcast hint iff the side is small. The probe is a *bounded*
+    limit-count — CollectLimit stops scanning once limit_rows+1 rows are
+    seen, so at web scale the probe short-circuits after a partition or two
+    instead of paying a full pass; on checkpointed small sides it is one
+    cheap job over in-memory blocks."""
+    probe = df.limit(limit_rows + 1).count()
+    return F.broadcast(df) if probe <= limit_rows else df
 
 
 def light_norm(col) -> "F.Column":

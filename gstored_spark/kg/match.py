@@ -73,6 +73,16 @@ def var_degrees(patterns: list[TriplePattern]) -> dict[str, int]:
     return deg
 
 
+def subject_vars(patterns: list[TriplePattern]) -> set[str]:
+    """Vars appearing in at least one subject position. Only these can be
+    signature-prefiltered: a subject is always an entity, while an
+    object-only var may bind *literals*, which have no entry in the entity
+    signature table — the reference adds literal candidates outside VS*-tree
+    retrieval for exactly this reason (Join::add_literal_candidate,
+    Database/Join.cpp:2242-2395)."""
+    return {p.s[1:] for p in patterns if p.s.startswith("?")}
+
+
 def candidate_terms(
     signatures: DataFrame, entity_dict: DataFrame, qsig: list[int]
 ) -> DataFrame:
@@ -109,9 +119,10 @@ def match_with_signatures(
     pred_ids = {r["term"]: r["id"] for r in pred_dict.collect()}
     qsigs = query_var_signatures(patterns, pred_ids)
     degrees = var_degrees(patterns)
+    entity_only = subject_vars(patterns)
     candidates = {
         v: candidate_terms(signatures, entity_dict, qsig)
         for v, qsig in qsigs.items()
-        if degrees.get(v, 0) >= min_degree
+        if degrees.get(v, 0) >= min_degree and v in entity_only
     }
     return match_bgp(triples, patterns, projection=projection, candidates=candidates)

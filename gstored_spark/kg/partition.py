@@ -51,7 +51,14 @@ def route_triples(
             ),
         )
     else:
-        pm = F.broadcast(partition_map.select(F.col("vid"), F.col("part")))
+        # The partition map is per-VERTEX (the reference keeps it in a disk
+        # B+-tree because it does not fit memory, gloadD.cpp:44-65) — never
+        # broadcast it unconditionally; at web scale these are shuffle joins
+        # co-partitioned on the vertex id. maybe_broadcast hints broadcast
+        # only while the map is genuinely small.
+        from gstored_spark.kg.link import maybe_broadcast
+
+        pm = maybe_broadcast(partition_map.select(F.col("vid"), F.col("part")))
         t = id_triples.join(
             pm.withColumnRenamed("vid", "s").withColumnRenamed("part", "s_part"),
             "s",
@@ -64,17 +71,16 @@ def route_triples(
         t = t.withColumn(
             "o_part", F.when(F.col("o_is_entity"), F.col("o_part")).otherwise(F.lit(None))
         )
-        # unmapped subject -> broadcast to every partition (gloadD.cpp:148)
+        # gloadD.cpp:118-153 routing: mapped subject -> its partition; mapped
+        # entity object in a different partition -> crossing replica; BOTH
+        # endpoints unmapped -> broadcast to every partition. A triple whose
+        # subject is unmapped but whose object is mapped gets ONLY the
+        # object-partition copy (no broadcast, no duplicate).
         all_parts = F.sequence(F.lit(0), F.lit(n_parts - 1))
-        t = t.withColumn(
-            "s_part_arr",
-            F.when(F.col("s_part").isNotNull(), F.array(F.col("s_part"))).otherwise(all_parts),
-        )
-        primary = t.select(
+        primary = t.filter(F.col("s_part").isNotNull()).select(
             "s", "p", "o", "o_is_entity",
-            F.explode("s_part_arr").alias("part"),
+            F.col("s_part").alias("part"),
             F.lit(False).alias("is_crossing"),
-            "o_part", "s_part",
         )
         crossing = t.filter(
             F.col("o_part").isNotNull()
@@ -83,9 +89,15 @@ def route_triples(
             "s", "p", "o", "o_is_entity",
             F.col("o_part").alias("part"),
             F.lit(True).alias("is_crossing"),
-            "o_part", "s_part",
         )
-        return primary.unionByName(crossing).drop("o_part", "s_part").distinct()
+        broadcast_rows = t.filter(
+            F.col("s_part").isNull() & F.col("o_part").isNull()
+        ).select(
+            "s", "p", "o", "o_is_entity",
+            F.explode(all_parts).alias("part"),
+            F.lit(False).alias("is_crossing"),
+        )
+        return primary.unionByName(crossing).unionByName(broadcast_rows)
 
     primary = t.select(
         "s", "p", "o", "o_is_entity",
@@ -113,7 +125,9 @@ def internal_vertices(
     ).distinct()
     if partition_map is None:
         return verts.withColumn("is_internal", owner(F.col("v"), n_parts) == F.col("part"))
-    pm = F.broadcast(partition_map.select(F.col("vid").alias("v"), F.col("part").alias("own")))
+    from gstored_spark.kg.link import maybe_broadcast
+
+    pm = maybe_broadcast(partition_map.select(F.col("vid").alias("v"), F.col("part").alias("own")))
     return verts.join(pm, "v", "left").select(
         "part", "v", (F.col("own") == F.col("part")).alias("is_internal")
     ).fillna({"is_internal": False})

@@ -92,6 +92,61 @@ def apply_updates(
     return out
 
 
+def matched_triples(triples_str: DataFrame, patterns: list) -> DataFrame:
+    """The triple set a DELETE WHERE BGP matches: evaluate the BGP, then
+    materialize each pattern with its bindings substituted back in
+    (GeneralEvaluation.cpp:3008-3065 prepareUpdateTriple semantics).
+    Input/output columns: (subj, pred, obj)."""
+    from gstored_spark.plans.bgp import match_bgp
+
+    bindings = match_bgp(triples_str.select("subj", "pred", "obj"), patterns)
+    doomed = None
+    for pat in patterns:
+        sel = []
+        for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+            if term.startswith("?"):
+                sel.append(F.col(term[1:]).alias(role))
+            else:
+                sel.append(F.lit(term).alias(role))
+        d = bindings.select(*sel)
+        doomed = d if doomed is None else doomed.unionByName(d)
+    return doomed.distinct()
+
+
+def delete_where_triples(triples: DataFrame, patterns: list) -> DataFrame:
+    """String-level DELETE WHERE: remaining (subj, pred, obj[, ...rest])
+    after removing every triple the BGP matches — one anti-join
+    (the reference's existence-checked remove, Database.cpp:619-635)."""
+    doomed = matched_triples(triples, patterns)
+    return triples.join(doomed, ["subj", "pred", "obj"], "left_anti")
+
+
+def delete_where(
+    id_triples: DataFrame,
+    patterns: list,
+    dicts: tuple[DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """Id-level DELETE WHERE (GeneralEvaluation.cpp:3008-3065 + the remove
+    path Database.cpp:619-635): decode ids -> match BGP -> substitute
+    bindings -> anti-join. ``dicts`` = (entity, literal, pred) dictionaries;
+    returns the post-delete id-triple set (s, p, o, o_is_entity)."""
+    from gstored_spark.kg.ids import decode_ids
+
+    entity_dict, literal_dict, pred_dict = dicts
+    term_dict = entity_dict.unionByName(literal_dict)
+    t = id_triples
+    t = decode_ids(t.withColumnRenamed("s", "sid"), "sid", term_dict, "subj")
+    t = decode_ids(t.withColumnRenamed("p", "pid"), "pid", pred_dict, "pred")
+    t = decode_ids(t.withColumnRenamed("o", "oid"), "oid", term_dict, "obj")
+    triples_str = t.select("subj", "pred", "obj", "sid", "pid", "oid")
+    doomed = matched_triples(triples_str, patterns)
+    keyed = triples_str.join(doomed, ["subj", "pred", "obj"], "leftsemi")
+    del_ids = keyed.select(
+        F.col("sid").alias("s"), F.col("pid").alias("p"), F.col("oid").alias("o")
+    )
+    return apply_updates(id_triples, None, del_ids)
+
+
 def affected_partitions(changed: DataFrame, n_parts: int) -> DataFrame:
     """Partitions whose adjacency blocks a change set touches: the
     subject's owner plus (crossing replication!) the entity object's owner

@@ -154,6 +154,60 @@ def minhash_dedup(
     return components_with_singletons(edges, df.select(F.col(id_col).alias("vertex")))
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact token-set Jaccard via an inverted-index pair join ->
+    (a, b, jaccard) for pairs >= threshold.
+
+    ``max_doc_freq`` caps the document frequency of index tokens: a token
+    appearing in more than that many documents is dropped from the *pair
+    generation* index (its bucket would contribute O(df^2) candidate rows —
+    one stop-token squares the join). Denominators still use the full token
+    sets, so Jaccard values are exact; only pairs sharing *no* sub-cap token
+    are missed — and such pairs are overwhelmingly below any useful
+    threshold because their overlap consists solely of corpus-ubiquitous
+    tokens. Same guard shape as lsh_candidate_pairs' ``max_bucket``.
+    Intersections are counted over all shared tokens of generated pairs via
+    exact array_intersect, so the cap affects candidate generation only.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("a"), F.array_distinct(tokens(F.col(text_col))).alias("ts"))
+        .withColumn("ts", F.filter("ts", lambda t: t != ""))
+        .filter(F.size("ts") > 0)
+    )
+    ex = toks.select("a", F.explode("ts").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idx = ex.join(dfreq.filter(F.col("df") <= max_doc_freq), "tok")
+    pairs = (
+        idx.select(F.col("a"), "tok")
+        .join(idx.select(F.col("a").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = toks.select("a", F.col("ts").alias("ts_a"))
+    sb = toks.select(F.col("a").alias("b"), F.col("ts").alias("ts_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ts_a", "ts_b"))
+                / (F.size("ts_a") + F.size("ts_b") - F.size(F.array_intersect("ts_a", "ts_b"))),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 # ---- SimHash ---------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

@@ -74,12 +74,16 @@ def topk_cosine_partitioned(
             nids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-            scores = qmat @ mat.T  # (Q, B)
-            top = min(k, scores.shape[1])
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # round BEFORE selection so partial top-k ranks exactly like
+            # topk_cosine's rounded scores; select per-partition candidates
+            # with the SAME (score desc, nid asc) tie-break as the global
+            # window, and take k+1 so dropping a self-match still leaves k
+            scores = np.round(qmat @ mat.T, 6)  # (Q, B)
+            top = min(k + 1, scores.shape[1])
             rows = []
             for qi in range(len(qids)):
-                for j in idx[qi]:
+                order = np.lexsort((nids, -scores[qi]))[:top]
+                for j in order:
                     if nids[j] != qids[qi]:
                         rows.append((int(qids[qi]), int(nids[j]), float(scores[qi, j])))
             yield pd.DataFrame(rows, columns=["qid", "nid", "score"])

@@ -184,19 +184,31 @@ def is_star(patterns: list[TriplePattern]) -> bool:
 @dataclass
 class GroupPattern:
     """A SPARQL group graph pattern subset: base BGP + OPTIONAL groups
-    (J4), UNION branches (U1), MINUS groups (J5), FILTER predicates."""
+    (J4), UNION branches (U1), MINUS groups (J5), FILTER predicates,
+    plus ``joins`` — sub-groups joined to the base on shared vars (the
+    group-join the reference's stack machine performs for nested groups,
+    GeneralEvaluation.cpp:2067-2288).
+
+    ``filters`` entries may be Spark SQL strings or Column expressions;
+    ``post_filters`` run after OPTIONAL/MINUS (for filters that reference
+    optional-only vars, mirroring the reference's apply-when-covered rule,
+    GeneralEvaluation.cpp:2780-2793)."""
 
     patterns: list[TriplePattern]
     optionals: list["GroupPattern"] = None  # type: ignore[assignment]
     unions: list["GroupPattern"] = None  # type: ignore[assignment]
     minus: list["GroupPattern"] = None  # type: ignore[assignment]
-    filters: list[str] = None  # Spark SQL boolean exprs over var columns
+    filters: list = None  # str | Column boolean exprs over var columns
+    joins: list["GroupPattern"] = None  # type: ignore[assignment]
+    post_filters: list = None  # str | Column, applied after optionals/minus
 
     def __post_init__(self):
         self.optionals = self.optionals or []
         self.unions = self.unions or []
         self.minus = self.minus or []
         self.filters = self.filters or []
+        self.joins = self.joins or []
+        self.post_filters = self.post_filters or []
 
 
 def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
@@ -208,13 +220,23 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
     (doUnion, 1202-1216 keeps per-varset groups — missing vars are NULL
     here, the unbound analog); FILTER applied as soon as its vars are
     covered (2780-2793)."""
+    def _pred(f):
+        return F.expr(f) if isinstance(f, str) else f
+
     acc = match_bgp(triples, g.patterns) if g.patterns else None
     for branch in g.unions:
         b = eval_group(triples, branch)
         acc = b if acc is None else acc.unionByName(b, allowMissingColumns=True)
+    for j in g.joins:
+        jdf = eval_group(triples, j)
+        if acc is None:
+            acc = jdf
+        else:
+            shared = [c for c in acc.columns if c in jdf.columns]
+            acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
     assert acc is not None, "empty group pattern"
     for f in g.filters:
-        acc = acc.filter(F.expr(f))
+        acc = acc.filter(_pred(f))
     for opt in g.optionals:
         o = eval_group(triples, opt)
         shared = [c for c in acc.columns if c in o.columns]
@@ -224,6 +246,8 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
         shared = [c for c in acc.columns if c in mdf.columns]
         if shared:
             acc = acc.join(mdf.select(*shared).distinct(), shared, "left_anti")
+    for f in g.post_filters:
+        acc = acc.filter(_pred(f))
     return acc
 
 

@@ -1,0 +1,534 @@
+"""SPARQL text front-end: tokenizer + recursive-descent parser compiling to
+the repo's group-graph-pattern algebra (plans/bgp.py) and RDF-term builtins
+(functions/terms.py).
+
+The reference parses SPARQL with an ANTLR3-generated C parser feeding
+QueryTree (Parser/SparqlParser.c via Parser/QueryParser.cpp:49
+SPARQLStarter; tree shapes QueryTree.h). This module covers the surface the
+reference evaluates — plain BGP SELECTs distributed (README.md:30-49), plus
+the single-node extras: PREFIX, OPTIONAL / UNION / MINUS groups, FILTER
+with the SPARQL 1.0 builtin set (QueryTree.h:118-119: STR, LANG,
+LANGMATCHES, DATATYPE, BOUND, sameTerm, isIRI, isURI, isBLANK, isLITERAL,
+REGEX; expression lattice GeneralEvaluation.cpp:1535-1851), DISTINCT /
+REDUCED, ORDER BY, LIMIT / OFFSET, and ASK.
+
+Grammar notes (deliberate, documented simplifications):
+  - comparison operators in FILTERs need whitespace around ``<``/``>``
+    (otherwise they tokenize as IRI brackets);
+  - a plain string constant compares against STR()-style values, so
+    ``?n = "x"`` matches ``"x"`` and ``"x"@en`` (the reference's multitype
+    lattice likewise compares on the value, not the tag);
+  - EXISTS is not in the reference's builtin set and is not parsed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gstored_spark.functions import terms as T
+from gstored_spark.plans.bgp import GroupPattern, TriplePattern, eval_group, modifiers
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9\-]*|\^\^<[^<>\s]*>)?)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<var>\?\w+)
+  | (?P<blank>_:\w+)
+  | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]*)
+  | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+\-])
+""",
+    re.VERBOSE,
+)
+
+_BUILTINS = {
+    "str", "lang", "langmatches", "datatype", "bound", "sameterm",
+    "isiri", "isuri", "isblank", "isliteral", "regex",
+}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(text: str) -> list[Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize at: {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            toks.append(Tok(kind, m.group()))
+    return toks
+
+
+# value kinds moving through the expression compiler
+TERM, STR, NUM, BOOL = "term", "str", "num", "bool"
+
+
+@dataclass
+class Expr:
+    kind: str
+    col: Column
+    vars: set[str] = field(default_factory=set)
+
+
+@dataclass
+class ParsedQuery:
+    form: str  # 'select' | 'ask'
+    projection: list[str] | None  # var names without '?', None = *
+    group: GroupPattern
+    distinct: bool = False
+    reduced: bool = False
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "kw" and t.text.lower() in words
+
+    def eat_kw(self, *words: str) -> str:
+        if not self.at_kw(*words):
+            raise ValueError(f"expected {words}, got {self.peek()}")
+        return self.next().text.lower()
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.text in ops
+
+    def eat_op(self, *ops: str) -> str:
+        if not self.at_op(*ops):
+            raise ValueError(f"expected {ops}, got {self.peek()}")
+        return self.next().text
+
+    # -- terms ---------------------------------------------------------------
+    def expand_pname(self, text: str) -> str:
+        ns, local = text.split(":", 1)
+        base = self.prefixes.get(ns + ":")
+        if base is None:
+            raise ValueError(f"unknown prefix {ns!r}")
+        return f"<{base}{local}>"
+
+    @staticmethod
+    def num_term(text: str) -> str:
+        """Bare numbers in triple patterns take the reference's normalized
+        typed-literal form (RDFParser.cpp:36-63)."""
+        dt = "integer" if re.fullmatch(r"[+-]?\d+", text) else "decimal"
+        return f'"{text}"^^<{XSD}{dt}>'
+
+    def triple_term(self) -> str:
+        t = self.next()
+        if t.kind in ("var", "iri", "string", "blank"):
+            return t.text
+        if t.kind == "pname":
+            return self.expand_pname(t.text)
+        if t.kind == "num":
+            return self.num_term(t.text)
+        if t.kind == "kw" and t.text.lower() == "a":  # rdf:type shorthand
+            return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        raise ValueError(f"bad triple term {t}")
+
+    # -- query ---------------------------------------------------------------
+    def parse_query(self) -> ParsedQuery:
+        while self.at_kw("prefix"):
+            self.next()
+            ns = self.next()
+            iri = self.next()
+            if ns.kind != "pname" or iri.kind != "iri":
+                raise ValueError("bad PREFIX declaration")
+            self.prefixes[ns.text] = iri.text[1:-1]
+        if self.at_kw("ask"):
+            self.next()
+            if self.at_kw("where"):
+                self.next()
+            g = self.parse_group()
+            return ParsedQuery("ask", None, g)
+        self.eat_kw("select")
+        distinct = reduced = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        elif self.at_kw("reduced"):
+            self.next()
+            reduced = True
+        proj: list[str] | None
+        if self.at_op("*"):
+            self.next()
+            proj = None
+        else:
+            proj = []
+            while self.peek() is not None and self.peek().kind == "var":
+                proj.append(self.next().text[1:])
+            if not proj:
+                raise ValueError("empty SELECT projection")
+        if self.at_kw("where"):
+            self.next()
+        g = self.parse_group()
+        q = ParsedQuery("select", proj, g, distinct=distinct, reduced=reduced)
+        self.parse_modifiers(q)
+        return q
+
+    def parse_modifiers(self, q: ParsedQuery) -> None:
+        while True:
+            if self.at_kw("order"):
+                self.next()
+                self.eat_kw("by")
+                while True:
+                    if self.at_kw("asc", "desc"):
+                        d = self.next().text.lower()
+                        self.eat_op("(")
+                        v = self.next()
+                        self.eat_op(")")
+                        q.order_by.append((v.text[1:], d == "asc"))
+                    elif self.peek() is not None and self.peek().kind == "var":
+                        q.order_by.append((self.next().text[1:], True))
+                    else:
+                        break
+            elif self.at_kw("limit"):
+                self.next()
+                q.limit = int(self.next().text)
+            elif self.at_kw("offset"):
+                self.next()
+                q.offset = int(self.next().text)
+            else:
+                break
+
+    # -- group graph pattern ---------------------------------------------------
+    def parse_group(self) -> GroupPattern:
+        self.eat_op("{")
+        g = GroupPattern(patterns=[])
+        raw_filters: list[Expr] = []
+        while not self.at_op("}"):
+            if self.at_kw("filter"):
+                self.next()
+                raw_filters.append(self.parse_constraint())
+            elif self.at_kw("optional"):
+                self.next()
+                g.optionals.append(self.parse_group())
+            elif self.at_kw("minus"):
+                self.next()
+                g.minus.append(self.parse_group())
+            elif self.at_op("{"):
+                sub = self.parse_group()
+                if self.at_kw("union"):
+                    branches = [sub]
+                    while self.at_kw("union"):
+                        self.next()
+                        branches.append(self.parse_group())
+                    g.joins.append(GroupPattern(patterns=[], unions=branches))
+                else:
+                    g.joins.append(sub)
+                if self.at_op("."):
+                    self.next()
+            else:
+                s = self.triple_term()
+                p = self.triple_term()
+                o = self.triple_term()
+                g.patterns.append(TriplePattern(s, p, o))
+                if self.at_op("."):
+                    self.next()
+        self.eat_op("}")
+        base_vars = set()
+        for p in g.patterns:
+            base_vars |= {v[1:] for v in p.vars()}
+        for e in raw_filters:
+            cond = _to_bool(e)
+            (g.filters if e.vars <= base_vars else g.post_filters).append(cond)
+        return g
+
+    # -- expressions -------------------------------------------------------------
+    def parse_constraint(self) -> Expr:
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        return self.parse_primary()  # bare builtin call: FILTER REGEX(...)
+
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        e = self.parse_and()
+        while self.at_op("||"):
+            self.next()
+            r = self.parse_and()
+            e = Expr(BOOL, _to_bool(e) | _to_bool(r), e.vars | r.vars)
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_relational()
+        while self.at_op("&&"):
+            self.next()
+            r = self.parse_relational()
+            e = Expr(BOOL, _to_bool(e) & _to_bool(r), e.vars | r.vars)
+        return e
+
+    def parse_relational(self) -> Expr:
+        e = self.parse_additive()
+        if self.at_op("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().text
+            r = self.parse_additive()
+            return _compare(e, r, op)
+        if self.at_kw("in"):
+            self.next()
+            return self._in_list(e, negate=False)
+        if self.at_kw("not"):
+            self.next()
+            self.eat_kw("in")
+            return self._in_list(e, negate=True)
+        return e
+
+    def _in_list(self, lhs: Expr, negate: bool) -> Expr:
+        self.eat_op("(")
+        items = [self.parse_expr()]
+        while self.at_op(","):
+            self.next()
+            items.append(self.parse_expr())
+        self.eat_op(")")
+        cond = None
+        vars_ = set(lhs.vars)
+        for it in items:
+            c = _compare(lhs, it, "=").col
+            cond = c if cond is None else (cond | c)
+            vars_ |= it.vars
+        return Expr(BOOL, ~cond if negate else cond, vars_)
+
+    def parse_additive(self) -> Expr:
+        e = self.parse_mult()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            r = self.parse_mult()
+            a, b = _to_num(e), _to_num(r)
+            e = Expr(NUM, a + b if op == "+" else a - b, e.vars | r.vars)
+        return e
+
+    def parse_mult(self) -> Expr:
+        e = self.parse_unary()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            r = self.parse_unary()
+            a, b = _to_num(e), _to_num(r)
+            e = Expr(NUM, a * b if op == "*" else a / b, e.vars | r.vars)
+        return e
+
+    def parse_unary(self) -> Expr:
+        if self.at_op("!"):
+            self.next()
+            e = self.parse_unary()
+            return Expr(BOOL, ~_to_bool(e), e.vars)
+        if self.at_op("-"):
+            self.next()
+            e = self.parse_unary()
+            return Expr(NUM, -_to_num(e), e.vars)
+        if self.at_op("+"):
+            self.next()
+            return self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of expression")
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "var":
+            self.next()
+            name = t.text[1:]
+            return Expr(TERM, F.col(name), {name})
+        if t.kind == "num":
+            self.next()
+            return Expr(NUM, F.lit(float(t.text)), set())
+        if t.kind == "string":
+            self.next()
+            if t.text.endswith('"'):  # plain literal -> value-space string
+                return Expr(STR, F.lit(t.text[1:-1]), set())
+            return Expr(TERM, F.lit(t.text), set())  # tagged/typed literal
+        if t.kind == "iri":
+            self.next()
+            return Expr(TERM, F.lit(t.text), set())
+        if t.kind == "pname":
+            self.next()
+            return Expr(TERM, F.lit(self.expand_pname(t.text)), set())
+        if t.kind == "kw":
+            name = t.text.lower()
+            if name in ("true", "false"):
+                self.next()
+                return Expr(BOOL, F.lit(name == "true"), set())
+            if name in _BUILTINS:
+                self.next()
+                return self.parse_builtin(name)
+        raise ValueError(f"bad expression token {t}")
+
+    def parse_builtin(self, name: str) -> Expr:
+        self.eat_op("(")
+        args = [self.parse_expr()]
+        while self.at_op(","):
+            self.next()
+            args.append(self.parse_expr())
+        self.eat_op(")")
+        vars_ = set().union(*[a.vars for a in args])
+        a0 = args[0]
+        if name == "str":
+            return Expr(STR, _to_str(a0), vars_)
+        if name == "lang":
+            return Expr(STR, T.lang_of(a0.col), vars_)
+        if name == "datatype":
+            return Expr(TERM, T.datatype_of(a0.col), vars_)
+        if name == "bound":
+            return Expr(BOOL, T.bound(a0.col), vars_)
+        if name == "sameterm":
+            return Expr(BOOL, T.same_term(a0.col, args[1].col), vars_)
+        if name in ("isiri", "isuri"):
+            return Expr(BOOL, T.is_iri(a0.col), vars_)
+        if name == "isblank":
+            return Expr(BOOL, T.is_blank(a0.col), vars_)
+        if name == "isliteral":
+            return Expr(BOOL, T.is_literal(a0.col), vars_)
+        if name == "langmatches":
+            return Expr(BOOL, T.lang_matches(_to_str(a0), _to_str(args[1])), vars_)
+        if name == "regex":
+            pat = _to_str(args[1])
+            if len(args) > 2:
+                pat = F.concat(
+                    F.when(_to_str(args[2]).contains("i"), F.lit("(?i)")).otherwise(F.lit("")),
+                    pat,
+                )
+            return Expr(BOOL, F.regexp_like(_to_str(a0), pat), vars_)
+        raise ValueError(f"unsupported builtin {name}")
+
+
+# -- kind coercions -------------------------------------------------------------
+
+
+def _to_num(e: Expr) -> Column:
+    if e.kind == NUM:
+        return e.col
+    if e.kind == TERM:
+        return T.num_of(e.col)
+    return e.col.cast("double")
+
+
+def _to_str(e: Expr) -> Column:
+    if e.kind == STR:
+        return e.col
+    if e.kind == TERM:
+        return T.str_of(e.col)
+    return e.col.cast("string")
+
+
+def _to_bool(e: Expr) -> Column:
+    if e.kind == BOOL:
+        return e.col
+    if e.kind == TERM:
+        return T.ebv(e.col)
+    if e.kind == NUM:
+        return e.col != 0.0
+    return F.length(e.col) > 0
+
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _compare(a: Expr, b: Expr, op: str) -> Expr:
+    """Typed comparison mirroring the reference's multitype promotion
+    (GeneralEvaluation.h:118-133): numeric wins, then string value space,
+    then term-vs-term with a per-row numeric fast path."""
+    f = _OPS[op]
+    vars_ = a.vars | b.vars
+    if NUM in (a.kind, b.kind):
+        return Expr(BOOL, f(_to_num(a), _to_num(b)), vars_)
+    if STR in (a.kind, b.kind):
+        return Expr(BOOL, f(_to_str(a), _to_str(b)), vars_)
+    na, nb = T.num_of(a.col), T.num_of(b.col)
+    cond = F.when(na.isNotNull() & nb.isNotNull(), f(na, nb)).otherwise(f(a.col, b.col))
+    return Expr(BOOL, cond, vars_)
+
+
+# -- public API -------------------------------------------------------------------
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    p = _Parser(tokenize(text))
+    q = p.parse_query()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens at {p.peek()}")
+    return q
+
+
+def _group_vars(g: GroupPattern) -> list[str]:
+    """Vars in first-appearance order (SELECT * expansion,
+    GeneralEvaluation.cpp:2870-2874)."""
+    seen: list[str] = []
+
+    def walk(gr: GroupPattern):
+        for p in gr.patterns:
+            for t in (p.s, p.p, p.o):
+                if t.startswith("?") and t[1:] not in seen:
+                    seen.append(t[1:])
+        for sub in gr.unions + gr.joins + gr.optionals:
+            walk(sub)
+
+    walk(g)
+    return seen
+
+
+def run_sparql(triples: DataFrame, text: str) -> DataFrame:
+    """Parse and evaluate a SPARQL query over triples(subj, pred, obj).
+
+    SELECT -> one column per projected var (no '?'); ASK -> zero-or-one row
+    with column ``ask`` = true (the LIMIT-1 probe, plans/bgp.ask)."""
+    q = parse_sparql(text)
+    df = eval_group(triples, q.group)
+    if q.form == "ask":
+        return df.limit(1).select(F.lit(True).alias("ask"))
+    proj = q.projection if q.projection is not None else _group_vars(q.group)
+    df = df.select(*proj)
+    return modifiers(
+        df,
+        distinct=q.distinct,
+        order_by=q.order_by or None,
+        limit=q.limit,
+        offset=q.offset,
+    )

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SEED = 42
@@ -89,6 +90,16 @@ def normalize_mention(m: str) -> str:
     s = re.sub(r"[.\-'’,]", " ", s)
     toks = [t for t in s.split() if len(t) > 1 or t.isdigit()]
     return " ".join(toks)
+
+
+def normalize_mention_col(c) -> "F.Column":
+    """Column twin of normalize_mention — pure built-ins (lower, regexp,
+    higher-order filter), bit-identical output (asserted in tests). Keeps
+    the canonicalization stage free of Python workers."""
+    s = F.regexp_replace(F.lower(c), r"[.\-'’,]", " ")
+    toks = F.split(F.trim(F.regexp_replace(s, r"\s+", " ")), " ")
+    kept = F.filter(toks, lambda t: (F.length(t) > 1) | t.rlike("^[0-9]+$"))
+    return F.array_join(kept, " ")
 
 
 def entity_iri(canonical_name: str) -> str:

@@ -38,12 +38,17 @@ def stream_routed(
     literal_dict: DataFrame,
     pred_dict: DataFrame,
     n_parts: int,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Resolve against *snapshot* dictionaries (broadcast), route to
-    partitions. Terms missing from the snapshot are tagged for the parked
-    side output (s/p/o NULL)."""
-    from gstored_spark.kg import ids as I
+    partitions -> (routed, parked).
 
+    ``routed``: fully-resolved id triples with BOTH the subject-partition
+    copy and the crossing-edge replica for entity objects owned elsewhere —
+    the same locality invariant the batch path guarantees
+    (gloadD.cpp:127-146), so streamed partitions answer star queries
+    without assembly. ``parked``: rows with any term missing from the
+    snapshot dictionaries, kept as the original string triple for the next
+    batch rebuild (the reference defers re-encoding the same way)."""
     t = mention_stream.select(
         F.col("subj_mention").alias("subj"),
         "pred",
@@ -58,10 +63,19 @@ def stream_routed(
         .join(F.broadcast(pred_dict.withColumnRenamed("term", "pred").withColumnRenamed("id", "p")), "pred", "left")
         .join(term_dict.withColumnRenamed("term", "obj").withColumnRenamed("id", "o"), "obj", "left")
     )
-    known = enc.filter(
-        F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
-    ).select("s", "p", "o", "o_is_entity")
-    return known.withColumn("part", P.owner(F.col("s"), n_parts))
+    resolved = F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+    parked = enc.filter(~resolved).select("subj", "pred", "obj", "o_is_entity")
+    known = enc.filter(resolved).select("s", "p", "o", "o_is_entity")
+    primary = known.withColumn("part", P.owner(F.col("s"), n_parts)).withColumn(
+        "is_crossing", F.lit(False)
+    )
+    crossing = (
+        known.filter("o_is_entity")
+        .withColumn("part", P.owner(F.col("o"), n_parts))
+        .filter(F.col("part") != P.owner(F.col("s"), n_parts))
+        .withColumn("is_crossing", F.lit(True))
+    )
+    return primary.unionByName(crossing), parked
 
 
 def start_ingest(

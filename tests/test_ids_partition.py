@@ -100,21 +100,60 @@ def test_internal_flags(spark, toy_triples):
 
 
 def test_explicit_partition_map_worked_example(spark):
-    """Reference worked example: 2-partition map from
-    example/dbpedia_example_distgStore_internal.TXT semantics — unmapped
-    vertices broadcast everywhere (gloadD.cpp:148-152)."""
+    """Reference worked example semantics (gloadD.cpp:118-153): mapped
+    subject -> its partition; mapped entity object elsewhere -> crossing
+    replica; subject unmapped + object mapped -> ONLY the object-partition
+    copy; BOTH unmapped -> broadcast everywhere."""
     trips = spark.createDataFrame(
-        [(1, 0, 2, True), (2, 0, 3, True), (9, 0, 1, True)], ["s", "p", "o", "o_is_entity"]
+        [(1, 0, 2, True), (2, 0, 3, True), (9, 0, 1, True), (8, 0, 9, True)],
+        ["s", "p", "o", "o_is_entity"],
     )
     pmap = spark.createDataFrame([(1, 0), (2, 1), (3, 1)], ["vid", "part"])
     routed = route_triples(trips, 2, partition_map=pmap)
-    rows = {(r["s"], r["o"], r["part"], r["is_crossing"]) for r in routed.collect()}
+    collected = routed.collect()
+    rows = {(r["s"], r["o"], r["part"], r["is_crossing"]) for r in collected}
     assert (1, 2, 0, False) in rows and (1, 2, 1, True) in rows  # crossing edge
     assert (2, 3, 1, False) in rows and not any(
         r for r in rows if r[0] == 2 and r[2] == 0
     )  # co-located, no replica
-    # unmapped subject 9 broadcast to both partitions
-    assert (9, 1, 0, False) in rows and (9, 1, 1, False) in rows
+    # subject unmapped, object mapped: exactly one copy, in the object's
+    # partition (the round-1 code emitted a duplicate broadcast copy here)
+    assert {(p, c) for s, o, p, c in rows if s == 9} == {(0, True)}
+    # both endpoints unmapped: broadcast to every partition
+    assert {(p, c) for s, o, p, c in rows if s == 8} == {(0, False), (1, False)}
+    # no duplicate (s,p,o,part) rows anywhere — bag semantics stay exact
+    assert len(collected) == len({(r["s"], r["o"], r["part"]) for r in collected})
+
+
+def test_partition_map_not_broadcast_when_big(spark):
+    """The partition map is per-vertex (reference holds it in a disk
+    B+-tree, gloadD.cpp:44-65); a big map must go through a shuffle join,
+    not a driver broadcast."""
+    from gstored_spark.kg import link as LK
+
+    big = spark.range(1000).select(F.col("id").alias("vid"), F.lit(0).alias("part"))
+    assert LK.maybe_broadcast(big, limit_rows=100) is big  # hint withheld
+    small = spark.range(10).select(F.col("id").alias("vid"), F.lit(0).alias("part"))
+    assert LK.maybe_broadcast(small, limit_rows=100) is not small  # hinted
+
+    # end-to-end: with the broadcast hint withheld and auto-broadcast off,
+    # the routing plan contains no BroadcastExchange for the map joins
+    trips = spark.range(500).select(
+        F.col("id").alias("s"), F.lit(0).alias("p"),
+        (F.col("id") + 1).alias("o"), F.lit(True).alias("o_is_entity"),
+    )
+    pmap = spark.range(600).select(F.col("id").alias("vid"), F.pmod("id", F.lit(4)).cast("int").alias("part"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import unittest.mock as mock
+
+        with mock.patch.object(LK, "maybe_broadcast", side_effect=lambda df, **kw: df):
+            routed = route_triples(trips, 4, partition_map=pmap)
+            plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_salting(spark):

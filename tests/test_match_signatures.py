@@ -77,6 +77,30 @@ def test_partition_pruning_sound(spark, built):
     assert parts_with_matches <= keep
 
 
+def test_shared_literal_object_var_not_prefiltered(spark, built):
+    """An object-only var can bind literals (here: ?x = a name literal
+    shared by two subjects). Literals have no entity signature, so
+    prefiltering ?x would silently drop every binding — the prefilter must
+    apply only to subject-position vars (Join::add_literal_candidate
+    semantics, Database/Join.cpp:2242-2395)."""
+    pats = [
+        TriplePattern("?a", "<rel:name>", "?x"),
+        TriplePattern("?b", "<rel:spouse>", "?a"),
+    ]
+    plain = {
+        tuple(r) for r in match_bgp(built.triples, pats, ["?a", "?x", "?b"]).distinct().collect()
+    }
+    pre = {
+        tuple(r)
+        for r in match_with_signatures(
+            built.triples, built.signatures, built.entity_dict, built.pred_dict,
+            pats, ["?a", "?x", "?b"], min_degree=1,
+        ).distinct().collect()
+    }
+    assert pre == plain
+    assert len(plain) > 0
+
+
 def test_unknown_predicate_yields_empty(spark, built):
     pats = [TriplePattern("?x", "<rel:nonexistent>", "?y"),
             TriplePattern("?x", "<rel:spouse>", "?z")]

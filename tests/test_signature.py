@@ -17,6 +17,24 @@ def test_hash_reference_values():
     for h in (simple_hash, ap_hash, bkdr_hash):
         v = h("<http://dbpedia.org/resource/Woody_Allen>")
         assert 0 <= v <= 0x7FFFFFFF
+    # signed-char semantics for non-ASCII (Util.cpp: BKDR/AP iterate plain
+    # char — signed on x86 — simpleHash iterates unsigned char): the byte
+    # 0xC3 of 'é' enters BKDR sign-extended, i.e. as 0xC3 - 0x100 = -61
+    b = "é".encode("utf-8")  # 0xC3 0xA9
+    assert bkdr_hash("é") == ((131 * (0xC3 - 0x100) + (0xA9 - 0x100)) & 0xFFFFFFFF) & 0x7FFFFFFF
+    assert simple_hash("é") == ((31 * 0xC3 + 0xA9) & 0xFFFFFFFF) & 0x7FFFFFFF
+
+
+def test_hash_batch_matches_pure_python():
+    from gstored_spark.functions.hashing import hash_family_batch
+
+    strs = ["", "a", "ab", "<ent:x>", '"lit"@en', "é-ünïcødé-漢字",
+            "<http://dbpedia.org/resource/Woody_Allen>", "x" * 300]
+    h = hash_family_batch(strs)
+    for i, s in enumerate(strs):
+        assert h[0][i] == simple_hash(s), s
+        assert h[1][i] == ap_hash(s), s
+        assert h[2][i] == bkdr_hash(s), s
 
 
 def test_str_bits_layout():

@@ -69,14 +69,41 @@ def test_multimodal_features_and_stubs(spark):
         arr = np.frombuffer(p, dtype=np.uint8)
         assert feats[mid]["n_bytes"] == len(p)
         assert abs(feats[mid]["byte_mean"] - arr.mean()) < 1e-9
-    dec = MM.decoded_images(media, fake=True).collect()
-    assert all(r["width"] == 4 and r["height"] == 4 and len(r["pixels"]) == 48 for r in dec)
-    # decode without the fake flag must raise (stub is clearly marked)
+    # REAL image decode: BMP payloads, no fake flag
+    dec = {r["media_id"]: r for r in MM.decoded_images(media, fake=False).collect()}
+    for i, r in dec.items():
+        w, h = 4 + (i % 5), 3 + (i % 4)
+        want = bytes(((i * 7 + j) % 256) for j in range(w * h * 3))
+        assert (r["width"], r["height"]) == (w, h)
+        assert bytes(r["pixels"]) == want  # exact roundtrip through the codec
+    stats = {r["media_id"]: r for r in
+             MM.image_pixel_stats(MM.decoded_images(media, fake=False)).collect()}
+    for i, r in stats.items():
+        w, h = 4 + (i % 5), 3 + (i % 4)
+        arr = np.frombuffer(bytes(dec[i]["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+        assert abs(r["mean_r"] - arr.reshape(-1, 3)[:, 0].mean()) < 1e-9
+    # non-BMP decode without the fake flag must raise (stub clearly marked)
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"xx", fake=False)
     frames = MM.sample_frames(media, every_ms=1000, fake=True)
     per = {r["media_id"]: r["frame_idx"] for r in frames.collect()}
     assert len(per) > 0
+
+
+def test_wav_roundtrip_and_audio_stats(spark):
+    sr = 8000
+    t = np.arange(2000, dtype=np.float64)
+    samples = (1000 * np.sin(2 * np.pi * 220 * t / sr)).astype(np.int16)
+    rate, got = MM.decode_wav(MM.encode_wav(sr, samples))
+    assert rate == sr and np.array_equal(got, samples)
+    media = MM.synthetic_media(spark, 12)
+    rows = {r["media_id"]: r for r in MM.decoded_audio(media).collect()}
+    assert len(rows) == 4  # ids 1,4,7,10
+    for mid, r in rows.items():
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 2000
+        want = (1000 * np.sin(2 * np.pi * (220 + mid)
+                              * np.arange(2000, dtype=np.float64) / 8000)).astype(np.int16)
+        assert abs(r["rms"] - float(np.sqrt(np.mean(want.astype(np.float64) ** 2)))) < 1e-6
 
 
 def test_no_per_row_python_udf_lint():

@@ -80,3 +80,20 @@ def test_canonical_triples_lexical_forms(spark, kg):
     lits = t.filter(~F.col("o_is_entity"))
     bad_lit = lits.filter(~F.col("obj").rlike(r'^".*"@en$')).count()
     assert bad_lit == 0
+
+
+def test_normalize_mention_col_matches_python(spark):
+    """The JVM column twin of normalize_mention must be bit-identical —
+    it defines canonical representatives, so any divergence changes IRIs."""
+    from gstored_spark.sources.corpus import normalize_mention, normalize_mention_col
+    from pyspark.sql import functions as F
+
+    cases = [
+        "Woody Allen", "woody-allen", "W. Allen", "Quinuvia X. Lumath",
+        "  spaced   out  ", "O'Brien, Jr.", "a b c", "X5 Turbo-9", "J.R.R.",
+        "", "don’t", "A", "42",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["m"])
+    got = {r["m"]: r["n"] for r in df.select("m", normalize_mention_col(F.col("m")).alias("n")).collect()}
+    for c in cases:
+        assert got[c] == normalize_mention(c), repr(c)
