@@ -9,11 +9,11 @@ stats, multimodal). Every computed column is aliased identically in the
 Spark plan and the DuckDB SQL; float-accumulating aggregates are avoided or
 cast to exact integers so the value-hash comparison is stable.
 
-Rows-only entries (no oracle): groupcc-free ops that are not expressible in
-ANSI SQL the driver can run — signature bitmaps (bit-exact vs the reference
-formulas, tested in tests/test_signature.py), winnowing fingerprints, the
-SRP-LSH ANN variant, and the full KG pipeline (P/R-gated in
-tests/test_triples_link_canon.py).
+Rows-only entries (no oracle): ops not expressible in ANSI SQL the driver
+can run — signature bitmaps (bit-exact vs the reference formulas, tested in
+tests/test_signature.py), the minhash_dedup cluster assignment (its hash
+family and CC are separately oracled), the SRP-LSH ANN variant, and the
+full KG pipeline (P/R-gated in tests/test_triples_link_canon.py).
 """
 
 from __future__ import annotations
@@ -234,6 +234,60 @@ def _q_bgp_star(spark, sf):
         TriplePattern("?o", "<placed_by>", "?c"),
     ]
     return match_bgp(_graph_triples(spark, sf), pats, ["?c", "?o"])
+
+
+_ARTIFACT_CACHE: dict[str, str] = {}
+
+
+def _graph_artifact(spark: SparkSession, sf: str) -> "object":
+    """Build (once per sf dir per process) and read back the emitted
+    gStoreD-style store for the relational->graph view: dictionary-encoded,
+    subject-routed with crossing-edge replication, adjacency blocks +
+    signature bitmaps, written as part=-partitioned parquet."""
+    import hashlib
+    import os
+
+    from gstored_spark.kg import blocks as B
+    from gstored_spark.kg import ids as I
+    from gstored_spark.kg import partition as P
+    from gstored_spark.kg.pipeline import PipelineResult
+
+    out = f"/tmp/gstored_artifact_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if sf not in _ARTIFACT_CACHE or not os.path.exists(f"{out}/part_sig"):
+        n_parts = 8
+        triples = _graph_triples(spark, sf).withColumn("o_is_entity", F.lit(True))
+        entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+        id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+        routed = P.route_triples(id_triples, n_parts)
+        internal = P.internal_vertices(routed, n_parts)
+        adj = B.adjacency(routed, internal)
+        sigs = B.vertex_signatures(triples, pred_dict, entity_dict)
+        part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
+        res = PipelineResult(
+            triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,
+            pred_dict=pred_dict, id_triples=id_triples, routed=routed,
+            internal=internal, adjacency=adj, signatures=sigs, part_sig=part_sig,
+        )
+        B.write_artifact(res, out)
+        _ARTIFACT_CACHE[sf] = out
+    return B.GraphArtifact(spark, out)
+
+
+def _q_bgp_blocks_triangle(spark, sf):
+    """The triangle BGP answered FROM THE EMITTED ARTIFACT: pattern views
+    reconstituted from explode(out) of the adjacency blocks, signature
+    candidates scanned with part=-directory pruning — hash-matches the
+    flat-view bgp_triangle oracle (same SQL)."""
+    from gstored_spark.kg.match import match_over_blocks
+    from gstored_spark.plans.bgp import TriplePattern
+
+    art = _graph_artifact(spark, sf)
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "?n"),
+        TriplePattern("?s", "<in_nation>", "?n"),
+    ]
+    return match_over_blocks(art, pats, ["?o", "?c", "?n", "?s"])
 
 
 def _q_pred_var_join(spark, sf):
@@ -505,6 +559,56 @@ def _q_winnow(spark, sf):
     return winnow_features(d, "doc_id", "text")
 
 
+def _q_events_window(spark, sf):
+    """Tumbling 1-hour windowed aggregation over the event stream (§2.9:
+    the reference has no streaming/window surface — this is the Structured
+    Streaming-compatible batch twin: the same F.window plan runs under
+    readStream with a watermark). Integer-cents sums keep the value hash
+    exact across engines. JSON props are extracted JVM-side."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n", "cents", "max_k"
+        )
+    )
+
+
+def _q_events_sessionize(spark, sf):
+    """Sessionization (gaps-and-islands): a session breaks after a 30-min
+    silence per user — the batch twin of the stateful streaming operator
+    (applyInPandasWithState shape); windows + cumulative sum, no Python."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch s (UTC session)
+    gap = sec - F.lag(sec).over(w)
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn("sess_id", F.sum("new_sess").over(w))
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def _q_embed_text(spark, sf):
+    """Text -> embedding via feature hashing (Weinberger ICML'09): signed
+    md5 bucket counts, l2-normalized; sparse (doc_id, i, val) output so the
+    value hash is canonicalizable. Dense form feeds the ANN operators."""
+    from gstored_spark.operators.embed import text_embedding_sparse
+
+    return text_embedding_sparse(_t(spark, sf, "documents"), "doc_id", "text", dim=64)
+
+
 def _q_mm_bytes(spark, sf):
     """Multimodal plumbing: binary payload -> mapInPandas byte features;
     n_bytes oracled via octet_length."""
@@ -539,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupcc": _q_groupcc,
         "signature_bits": _q_signature_bits,
         "bgp_triangle": _q_bgp_triangle,
+        "bgp_blocks_triangle": _q_bgp_blocks_triangle,
         "bgp_star": _q_bgp_star,
         "pred_var_join": _q_pred_var_join,
         "bgp_optional": _q_bgp_optional,
@@ -563,6 +668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "token_count": _q_token_count,
         "content_fp": _q_content_fp,
+        "embed_text": _q_embed_text,
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
         "winnow": _q_winnow,
         "mm_bytes": _q_mm_bytes,
         "kg_triples": _q_kg_triples,
@@ -640,6 +748,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
         """,
         "bgp_triangle": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n, t3.subj AS s
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj JOIN g t3 ON t2.obj = t3.obj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND t3.pred = '<in_nation>'
+        """,
+        "bgp_blocks_triangle": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n, t3.subj AS s
             FROM g t1 JOIN g t2 ON t1.obj = t2.subj JOIN g t3 ON t2.obj = t3.obj
@@ -958,6 +1073,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
                    md5(string_agg(h, ',' ORDER BY p)) AS fp_hash
             FROM sel GROUP BY doc_id
+        """,
+        "events_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+                   max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+                            OR lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id,
+                       sum(new_sess) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g
+            )
+            SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+                   count(*) AS n_events,
+                   min(event_id) AS first_event, max(event_id) AS last_event
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "embed_text": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                FROM documents
+            ),
+            h AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+            d AS (
+                SELECT doc_id,
+                       CAST(((((strpos('0123456789abcdef', substring(h,1,1))-1) * 16
+                          + (strpos('0123456789abcdef', substring(h,2,1))-1)) * 16
+                          + (strpos('0123456789abcdef', substring(h,3,1))-1)) * 16
+                          + (strpos('0123456789abcdef', substring(h,4,1))-1)) % 64
+                          AS INTEGER) AS i,
+                       CASE WHEN (strpos('0123456789abcdef', substring(h,5,1))-1) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM h
+            ),
+            raw AS (
+                SELECT doc_id, i, CAST(sum(s) AS DOUBLE) AS v
+                FROM d GROUP BY doc_id, i HAVING sum(s) <> 0
+            ),
+            norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM raw GROUP BY doc_id)
+            SELECT r.doc_id, i, round(v / nrm, 6) AS val
+            FROM raw r JOIN norms n ON r.doc_id = n.doc_id
         """,
         "mm_bytes": """
             SELECT doc_id AS media_id,

@@ -32,7 +32,10 @@ from gstored_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+# 200k docs: large enough that the pipeline's fixed coordination cost
+# (~30 s of planning/fixpoint jobs, see BENCH/BASELINE.md) stops dominating
+# the headline triples/sec; still ~1 min at local[32]
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 
 # headline operator queries (forced via count) — chosen to cover the join,
 # dedup, similarity, text and CC families at sf scale
@@ -40,13 +43,19 @@ QUERY_NAMES = [
     "multi_join",
     "filter_pushdown",
     "bgp_triangle",
+    "bgp_blocks_triangle",
     "bgp_star",
+    "bgp_parsed",
+    "term_funcs",
+    "delete_where",
     "groupcc",
     "exact_dedup",
     "minhash_dedup",
     "simhash",
     "ngram_jaccard",
     "ann_topk",
+    "embed_text",
+    "winnow",
     "lang_id",
     "quality_score",
     "token_count",
@@ -82,6 +91,12 @@ def main():
     timings["kg_pipeline"] = round(pipeline_sec, 3)
 
     # --- operator queries ------------------------------------------------
+    # build the on-disk graph artifact once, untimed (store construction is
+    # the pipeline leg's job; bgp_blocks_triangle measures QUERYING the store)
+    t0 = time.time()
+    E._graph_artifact(spark, SF_DIR)
+    timings["artifact_build"] = round(time.time() - t0, 3)
+
     for name in QUERY_NAMES:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()

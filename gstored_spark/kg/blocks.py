@@ -63,6 +63,19 @@ def adjacency(routed: DataFrame, internal: DataFrame, salt_col: str | None = Non
     )
 
 
+def vertex_predicate_sets(adj: DataFrame) -> DataFrame:
+    """F4 per-vertex predicate sets (the s2p/o2p indexes,
+    KVstore/KVstore.h:265-293) as a derived view of the adjacency blocks —
+    the satellite pre-filter (Join::filterBySatellites, Join.cpp:2419-2700)
+    becomes ``array_contains(out_preds, p)`` semi-join pruning."""
+    return adj.select(
+        "part",
+        "v",
+        F.array_distinct(F.transform("out", lambda e: e["p"])).alias("out_preds"),
+        F.array_distinct(F.transform("in", lambda e: e["p"])).alias("in_preds"),
+    )
+
+
 def signature_contributions(triples: DataFrame, pred_dict: DataFrame) -> DataFrame:
     """canonical string triples + pred ids -> (v_term, bits array<int>).
 
@@ -113,3 +126,51 @@ def write_blocks(adj: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """Materialize adjacency blocks partitioned by graph partition — the
     parquet layout downstream BGP matching scans with partition pruning."""
     adj.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")
+
+
+# ---- the full emitted artifact: what a query engine reads ------------------
+#
+# The reference's store is a directory of B+-trees + signature file +
+# internal bitmap per partition (Database::load, Database.cpp:413-470).
+# Ours is a directory of parquet tables; `part=` directories give the
+# VS*-tree-style partition pruning (kg/match.py match_over_blocks reads a
+# strict subset of them when query signatures allow).
+
+
+def write_artifact(result, out_dir: str, mode: str = "overwrite") -> None:
+    """PipelineResult -> on-disk graph store:
+    adjacency/ (part=...), signatures/ (part=...), part_sig/,
+    entity_dict/ literal_dict/ pred_dict/."""
+    result.adjacency.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")
+    part_sigs = partitioned_signatures(result.signatures, result.internal)
+    part_sigs.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/signatures")
+    result.part_sig.write.mode(mode).parquet(f"{out_dir}/part_sig")
+    result.entity_dict.write.mode(mode).parquet(f"{out_dir}/entity_dict")
+    result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
+    result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
+
+
+class GraphArtifact:
+    """Lazy reader over the emitted store (the query engine's view)."""
+
+    def __init__(self, spark, art_dir: str):
+        self.dir = art_dir
+        self.adjacency = spark.read.parquet(f"{art_dir}/adjacency")
+        self.signatures = spark.read.parquet(f"{art_dir}/signatures")
+        self.part_sig = spark.read.parquet(f"{art_dir}/part_sig")
+        self.entity_dict = spark.read.parquet(f"{art_dir}/entity_dict")
+        self.literal_dict = spark.read.parquet(f"{art_dir}/literal_dict")
+        self.pred_dict = spark.read.parquet(f"{art_dir}/pred_dict")
+
+
+def triples_from_adjacency(adj: DataFrame) -> DataFrame:
+    """Reconstitute the exact triple bag from adjacency blocks: explode the
+    out-lists of INTERNAL vertices only — each triple's subject is internal
+    in exactly one partition (its owner), so crossing replicas contribute
+    nothing twice. Requires owner-complete subjects (hash owner, or a map
+    covering every subject). -> (s, p, o) id triples."""
+    return (
+        adj.filter("is_internal")
+        .select(F.col("v").alias("s"), F.explode("out").alias("e"))
+        .select("s", F.col("e.p").alias("p"), F.col("e.o").alias("o"))
+    )

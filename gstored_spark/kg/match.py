@@ -102,6 +102,73 @@ def pruned_partitions(part_sig: DataFrame, qsig: list[int]) -> DataFrame:
     return part_sig.filter(covers(F.col("sig"), lit)).select("part")
 
 
+def candidate_terms_pruned(
+    artifact, qsig: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate IRIs from the on-disk artifact with PARTITION PRUNING:
+    partitions whose OR-signature does not cover the query signature are
+    never scanned — `part` is a parquet partition column, so the
+    `part IN (...)` filter prunes whole `part=` directories before any IO
+    (the VS*-tree upper-level skip, VSTree/VSTree.cpp:1482-1589, re-expressed
+    as datasource partition pruning).
+
+    Returns (candidate term DF, the pruned signature scan DF — exposed so
+    tests can assert the file-level subset)."""
+    keep = [r["part"] for r in pruned_partitions(artifact.part_sig, qsig).collect()]
+    lit = F.array(*[F.lit(w).cast("long") for w in qsig])
+    scan = artifact.signatures.filter(F.col("part").isin(keep))
+    cand = scan.filter(covers(F.col("sig"), lit)).select("v").distinct()
+    terms = cand.join(
+        artifact.entity_dict.select(F.col("id").alias("v"), "term"), "v"
+    ).select("term")
+    return terms, scan
+
+
+def match_over_blocks(
+    artifact,
+    patterns: list[TriplePattern],
+    projection: list[str] | None = None,
+    min_degree: int = 2,
+) -> DataFrame:
+    """BGP matching that reads the EMITTED artifact, not a flat triple view
+    — the analog of the reference answering queries out of its own store
+    (KVstore.h:92-237 index probes driven from Join.cpp:1144-1388):
+
+      1. pattern views are reconstituted from ``explode(out)`` of the
+         adjacency blocks (internal vertices only — exact triple bag);
+      2. per-var signature candidates are scanned from the artifact's
+         signature table with whole-partition pruning via the OR-aggregate
+         partition signatures (candidate_terms_pruned);
+      3. candidates semi-join into the leaf pattern views of the join tree
+         (match_bgp), shrinking every downstream shuffle.
+
+    Ids are decoded through the artifact's dictionaries before matching so
+    string-term patterns apply directly (the reference decodes at result
+    time, P3 — same dictionary joins, different placement; at 10^12 scale
+    flip to id-level matching by encoding the pattern constants instead).
+    """
+    from gstored_spark.kg.blocks import triples_from_adjacency
+    from gstored_spark.kg.ids import decode_ids
+
+    pred_ids = {r["term"]: r["id"] for r in artifact.pred_dict.collect()}
+    qsigs = query_var_signatures(patterns, pred_ids)
+    degrees = var_degrees(patterns)
+    entity_only = subject_vars(patterns)
+    candidates = {}
+    for v, qsig in qsigs.items():
+        if degrees.get(v, 0) >= min_degree and v in entity_only:
+            terms, _ = candidate_terms_pruned(artifact, qsig)
+            candidates[v] = terms
+
+    ids = triples_from_adjacency(artifact.adjacency)
+    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+    t = decode_ids(ids, "s", term_dict, "subj")
+    t = decode_ids(t, "p", artifact.pred_dict, "pred")
+    t = decode_ids(t, "o", term_dict, "obj")
+    triples = t.select("subj", "pred", "obj")
+    return match_bgp(triples, patterns, projection=projection, candidates=candidates)
+
+
 def match_with_signatures(
     triples: DataFrame,
     signatures: DataFrame,

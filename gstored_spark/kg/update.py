@@ -147,6 +147,19 @@ def delete_where(
     return apply_updates(id_triples, None, del_ids)
 
 
+def modify(
+    id_triples: DataFrame,
+    delete_patterns: list,
+    insert_id_triples: DataFrame | None,
+    dicts: tuple[DataFrame, DataFrame, DataFrame],
+) -> DataFrame:
+    """SPARQL UPDATE MODIFY (DELETE ... INSERT ... WHERE,
+    GeneralEvaluation.cpp:3008-3065): delete the WHERE-matched triples,
+    then merge the inserts — one pass over the store."""
+    out = delete_where(id_triples, delete_patterns, dicts)
+    return apply_updates(out, insert_id_triples, None)
+
+
 def affected_partitions(changed: DataFrame, n_parts: int) -> DataFrame:
     """Partitions whose adjacency blocks a change set touches: the
     subject's owner plus (crossing replication!) the entity object's owner

@@ -93,17 +93,53 @@ def _pattern_df(triples: DataFrame, pat: TriplePattern, idx: int) -> tuple[DataF
     return out, pat.vars()
 
 
-def greedy_order(patterns: list[TriplePattern]) -> list[int]:
+def predicate_counts(triples: DataFrame) -> dict[str, int]:
+    """Per-predicate triple counts — the p2num statistics tree the reference
+    builds for ordering (KVstore/KVstore.h:296-301, preID2num). Predicates
+    are few; the collect is tiny."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def _cardinality(pat: TriplePattern, bound: set[str], pred_counts, total: int) -> float:
+    """Estimated result size of expanding by ``pat`` given already-bound
+    vars — the |cand| in the reference's greedy score
+    (Join.cpp:71-77, score = 100000/|cand| weighted by degree)."""
+    est = float(pred_counts.get(pat.p, total)) if not pat.p.startswith("?") else float(total)
+    for term in (pat.s, pat.o):
+        if not term.startswith("?") or term in bound:
+            est /= 100.0  # constant or already-bound endpoint: point probe
+    return est
+
+
+def greedy_order(
+    patterns: list[TriplePattern],
+    pred_counts: dict[str, int] | None = None,
+) -> list[int]:
     """Constant-first, connected-next ordering (Join.cpp:71-77,961-998
     heuristic: seed with the most-selective pattern, grow along shared
-    vars, prefer selective + well-connected)."""
+    vars, prefer selective + well-connected). With ``pred_counts`` (the
+    p2num stats, predicate_counts()), selectivity is cardinality-based —
+    the reference's 100000/|cand| score; without, constants count stands in
+    for cardinality. AQE re-orders at runtime either way."""
     remaining = set(range(len(patterns)))
     order: list[int] = []
     bound: set[str] = set()
+    total = max(sum(pred_counts.values()), 1) if pred_counts else 1
+
     while remaining:
-        def key(i: int):
-            shared = len(patterns[i].vars() & bound)
-            return (1 if (order and shared > 0) else 0, patterns[i].n_constants(), shared, -i)
+        if pred_counts:
+            def key(i: int):
+                shared = len({v for v in patterns[i].vars()} & bound)
+                connected = 1 if (order and shared > 0) else 0
+                est = _cardinality(patterns[i], bound, pred_counts, total)
+                return (connected, -est, shared, -i)
+        else:
+            def key(i: int):
+                shared = len(patterns[i].vars() & bound)
+                return (1 if (order and shared > 0) else 0, patterns[i].n_constants(), shared, -i)
 
         nxt = max(remaining, key=key)
         order.append(nxt)
@@ -117,6 +153,7 @@ def match_bgp(
     patterns: list[TriplePattern],
     projection: list[str] | None = None,
     candidates: dict[str, DataFrame] | None = None,
+    pred_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """triples(subj, pred, obj) x BGP -> bindings DataFrame (one column per
     var, no '?' prefix). Disconnected components become cross joins (the
@@ -127,7 +164,7 @@ def match_bgp(
     bindings, semi-joined into each *leaf* pattern view before any join —
     the signature-prefilter hook (F1): leaves shrink, so every downstream
     shuffle shrinks."""
-    order = greedy_order(patterns)
+    order = greedy_order(patterns, pred_counts)
     acc: DataFrame | None = None
     acc_vars: set[str] = set()
     for idx in order:

@@ -514,6 +514,65 @@ def _group_vars(g: GroupPattern) -> list[str]:
     return seen
 
 
+@dataclass
+class ParsedUpdate:
+    form: str  # 'insert_data' | 'delete_data' | 'delete_where'
+    patterns: list[TriplePattern]  # ground triples for *_data
+
+
+def parse_update(text: str) -> ParsedUpdate:
+    """SPARQL UPDATE text subset (QueryTree update types, evaluation
+    GeneralEvaluation.cpp:3008-3065): INSERT DATA { ... }, DELETE DATA
+    { ... }, DELETE WHERE { ... }."""
+    p = _Parser(tokenize(text))
+    while p.at_kw("prefix"):
+        p.next()
+        ns, iri = p.next(), p.next()
+        p.prefixes[ns.text] = iri.text[1:-1]
+    if p.at_kw("insert"):
+        p.next()
+        p.eat_kw("data")
+        form = "insert_data"
+    elif p.at_kw("delete"):
+        p.next()
+        if p.at_kw("data"):
+            p.next()
+            form = "delete_data"
+        else:
+            p.eat_kw("where")
+            form = "delete_where"
+    else:
+        raise ValueError("expected INSERT DATA / DELETE DATA / DELETE WHERE")
+    g = p.parse_group()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens at {p.peek()}")
+    if form in ("insert_data", "delete_data"):
+        for pat in g.patterns:
+            if pat.vars():
+                raise ValueError(f"{form} requires ground triples, got {pat}")
+    return ParsedUpdate(form, g.patterns)
+
+
+def run_update(triples: DataFrame, text: str) -> DataFrame:
+    """Apply a parsed update to a string-triple DataFrame
+    (subj, pred, obj[, o_is_entity]) -> the post-update triple set."""
+    from gstored_spark.kg.update import delete_where_triples
+
+    u = parse_update(text)
+    spark = triples.sparkSession
+    if u.form == "delete_where":
+        return delete_where_triples(triples, u.patterns)
+    ground = spark.createDataFrame(
+        [(p.s, p.p, p.o, not p.o.startswith('"')) for p in u.patterns],
+        ["subj", "pred", "obj", "o_is_entity"],
+    )
+    if u.form == "delete_data":
+        return triples.join(
+            ground.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti"
+        )
+    return triples.unionByName(ground, allowMissingColumns=True).distinct()
+
+
 def run_sparql(triples: DataFrame, text: str) -> DataFrame:
     """Parse and evaluate a SPARQL query over triples(subj, pred, obj).
 

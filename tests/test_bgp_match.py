@@ -157,3 +157,27 @@ def test_group_pattern_algebra(spark):
     # ASK
     assert ask(t, [TriplePattern("<a>", "<p>", "?x")]).count() == 1
     assert ask(t, [TriplePattern("<zz>", "<p>", "?x")]).count() == 0
+
+
+def test_greedy_order_uses_cardinalities():
+    """With p2num stats (predicate_counts), the seed is the rarest
+    predicate pattern even when another pattern has more constants on a
+    huge predicate (the reference's 100000/|cand| score, Join.cpp:71-77)."""
+    from gstored_spark.plans.bgp import TriplePattern, greedy_order
+
+    pats = [
+        TriplePattern("?a", "<common>", "c:1"),   # 1 constant, huge predicate
+        TriplePattern("?a", "<rare>", "?b"),      # 0 constants, tiny predicate
+        TriplePattern("?b", "<common>", "?c"),
+    ]
+    counts = {"<common>": 1_000_000, "<rare>": 10}
+    # without stats: constants-first picks pattern 0
+    assert greedy_order(pats)[0] == 0
+    # with stats: <rare> has est 10 < <common>/100 = 10000 -> seed is 1,
+    # then connected growth
+    order = greedy_order(pats, counts)
+    assert order[0] == 1
+    bound = set(pats[order[0]].vars())
+    for i in order[1:]:
+        assert pats[i].vars() & bound  # connected chain (no cartesian)
+        bound |= pats[i].vars()

@@ -46,3 +46,30 @@ def test_ntriples_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in t.collect()}
     b = {tuple(r) for r in t2.collect()}
     assert a == b
+
+
+def test_read_turtle_prefixes_and_lists(spark, tmp_path):
+    """Turtle source: prefixes, ;/, lists, typed-literal normalization
+    exactly as the reference ingest (Parser/RDFParser.cpp:33-62)."""
+    from gstored_spark.sources.turtle import read_turtle
+
+    doc = """
+    @prefix dbo: <http://dbpedia.org/ontology/> .
+    @prefix foaf: <http://xmlns.com/foaf/0.1/> .
+    dbo:W foaf:name "Woody Allen"@en ;
+        dbo:age 42 ;
+        dbo:spouse dbo:L, _:b1 .
+    _:b1 foaf:name "esc\\"aped" .
+    """
+    p = tmp_path / "t.ttl"
+    p.write_text(doc)
+    got = {tuple(r) for r in read_turtle(spark, str(p)).collect()}
+    assert ("<http://dbpedia.org/ontology/W>", "<http://xmlns.com/foaf/0.1/name>",
+            '"Woody Allen"@en', False) in got
+    assert ("<http://dbpedia.org/ontology/W>", "<http://dbpedia.org/ontology/age>",
+            '"42"^^<http://www.w3.org/2001/XMLSchema#integer>', False) in got
+    assert ("<http://dbpedia.org/ontology/W>", "<http://dbpedia.org/ontology/spouse>",
+            "<http://dbpedia.org/ontology/L>", True) in got
+    assert ("<http://dbpedia.org/ontology/W>", "<http://dbpedia.org/ontology/spouse>",
+            "_:b1", True) in got
+    assert ("_:b1", "<http://xmlns.com/foaf/0.1/name>", '"esc"aped"', False) in got

@@ -111,6 +111,29 @@ def test_winnow_matches_pure_python(spark):
     assert len(common) / len(set(got[1])) > 0.8
 
 
+def test_text_embedding_feeds_ann(spark):
+    """End-to-end: documents -> hashing-trick embeddings -> brute-force
+    cosine top-k. Dense assembly must match the sparse form and unit-norm."""
+    from gstored_spark.operators.embed import text_embedding, text_embedding_sparse
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    dense = text_embedding(docs, "doc_id", "text", dim=32).persist()
+    rows = dense.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    for r in rows[:5]:
+        assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-4
+    sparse = {(r["doc_id"], r["i"]): r["val"]
+              for r in text_embedding_sparse(docs, "doc_id", "text", dim=32).collect()}
+    for r in rows[:5]:
+        for i, v in enumerate(r["embedding"]):
+            if v != 0.0:
+                assert abs(sparse[(r["doc_id"], i)] - v) < 1e-9
+    q = dense.filter(F.col("doc_id") < 3)
+    top = SIM.topk_cosine(dense, q, "doc_id", "embedding", k=3)
+    got = top.groupBy("qid").count().collect()
+    assert all(r["count"] == 3 for r in got) and len(got) == 3
+
+
 def test_winnow_md5_udf_matches_sql_twin(spark):
     """The map-only Arrow path and the pure-built-in window-function path
     must select identical fingerprints (same oracle-checked semantics)."""

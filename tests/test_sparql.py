@@ -204,3 +204,24 @@ def test_select_star(spark, example_triples):
     )
     assert df.columns == ["f", "d"]
     assert df.count() > 0
+
+
+def test_update_text_forms(spark):
+    """INSERT DATA / DELETE DATA / DELETE WHERE text parsing + execution
+    (GeneralEvaluation.cpp:3008-3065 surface)."""
+    from gstored_spark.plans.sparql import parse_update, run_update
+
+    triples = spark.createDataFrame(
+        [("<e:a>", "<p:knows>", "<e:b>", True),
+         ("<e:a>", "<p:name>", '"al"@en', False)],
+        ["subj", "pred", "obj", "o_is_entity"],
+    )
+    out = run_update(triples, 'INSERT DATA { <e:c> <p:knows> <e:a> . }')
+    assert out.count() == 3
+    out = run_update(triples, 'DELETE DATA { <e:a> <p:knows> <e:b> . }')
+    assert {r["subj"] for r in out.collect()} == {"<e:a>"} and out.count() == 1
+    out = run_update(triples, "DELETE WHERE { ?x <p:knows> ?y }")
+    assert out.count() == 1  # only the name triple survives
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_update("INSERT DATA { ?x <p:knows> <e:b> . }")  # non-ground

@@ -61,6 +61,44 @@ def test_streaming_ingest(spark, tmp_path, docs200):
     assert set(got.columns) >= {"subj_mention", "pred", "obj_mention"}
 
 
+def test_stream_routed_parked_and_crossing(spark):
+    """stream_routed resolves against snapshot dictionaries: unseen terms go
+    to the parked side output (nothing silently dropped), and crossing
+    entity edges are replicated to the object's partition like the batch
+    path (gloadD.cpp:127-146 locality invariant)."""
+    from gstored_spark.streaming.ingest import stream_routed
+    from gstored_spark.kg.partition import owner
+
+    mentions = spark.createDataFrame(
+        [
+            ("<e:a>", "<p:knows>", "<e:b>", True),
+            ("<e:b>", "<p:name>", "bee", False),
+            ("<e:unknown>", "<p:knows>", "<e:a>", True),  # unseen subject
+        ],
+        ["subj_mention", "pred", "obj_mention", "o_is_entity"],
+    )
+    entity_dict = spark.createDataFrame(
+        [("<e:a>", 0), ("<e:b>", 1)], ["term", "id"])
+    literal_dict = spark.createDataFrame([('"bee"@en', 10**9)], ["term", "id"])
+    pred_dict = spark.createDataFrame(
+        [("<p:knows>", 0), ("<p:name>", 1)], ["term", "id"])
+    routed, parked = stream_routed(mentions, entity_dict, literal_dict, pred_dict, 4)
+    p = parked.collect()
+    assert [(r["subj"], r["obj"]) for r in p] == [("<e:unknown>", "<e:a>")]
+    rows = routed.collect()
+    n_parts = 4
+    own = {r["s"]: r["part"] for r in
+           routed.select("s", owner(F.col("s"), n_parts).alias("part")).collect()}
+    for r in rows:
+        if not r["is_crossing"]:
+            assert r["part"] == own[r["s"]]
+    # the (0 knows 1) edge must exist in vertex 1's partition too if different
+    e01 = [r for r in rows if r["s"] == 0 and r["o"] == 1]
+    parts = {r["part"] for r in e01}
+    o_own = routed.select(owner(F.lit(1).cast("long"), n_parts)).first()[0]
+    assert o_own in parts
+
+
 def test_multimodal_features_and_stubs(spark):
     media = MM.synthetic_media(spark, 12)
     feats = {r["media_id"]: r for r in MM.byte_features(media).collect()}

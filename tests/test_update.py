@@ -86,3 +86,36 @@ def test_incremental_adjacency_matches_full_rebuild(spark, base):
     # and untouched partitions were NOT rebuilt (carried over)
     touched = {r["part"] for r in affected_partitions(enc_new, N_PARTS).collect()}
     assert touched and touched < set(range(N_PARTS)) or touched == set(range(N_PARTS))
+
+
+def test_delete_where_and_modify(spark):
+    """DELETE WHERE: bind the BGP, substitute bindings into each pattern,
+    anti-join out (GeneralEvaluation.cpp:3008-3065); MODIFY composes the
+    delete with an insert merge."""
+    from gstored_spark.kg.ids import build_dictionaries, encode_triples
+    from gstored_spark.kg.update import delete_where, delete_where_triples, modify
+    from gstored_spark.plans.bgp import TriplePattern
+
+    rows = [
+        ("<e:a>", "<p:knows>", "<e:b>", True),
+        ("<e:b>", "<p:knows>", "<e:c>", True),
+        ("<e:a>", "<p:name>", '"al"@en', False),
+        ("<e:c>", "<p:name>", '"cee"@en', False),
+    ]
+    triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
+    # string level: delete every knows-edge of a subject that has a name
+    pats = [TriplePattern("?x", "<p:knows>", "?y"), TriplePattern("?x", "<p:name>", "?n")]
+    left = delete_where_triples(triples, pats)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in left.collect()}
+    # <e:a> knows <e:b> deleted (a has a name) and both name triples deleted
+    # (the second pattern's bindings are deleted too — DELETE WHERE removes
+    # every matched pattern instantiation); <e:b> knows <e:c> survives
+    assert got == {("<e:b>", "<p:knows>", "<e:c>"), ("<e:c>", "<p:name>", '"cee"@en')}
+
+    # id level roundtrip + modify with an insert
+    ent, lit, pred = build_dictionaries(triples)
+    enc = encode_triples(triples, ent, lit, pred)
+    after = delete_where(enc, pats, (ent, lit, pred))
+    assert after.count() == 2
+    ins = enc.limit(0)  # empty insert set: modify == delete_where
+    assert modify(enc, pats, ins, (ent, lit, pred)).count() == 2
