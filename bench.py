@@ -66,7 +66,7 @@ QUERY_NAMES = [
 
 def main():
     spark = get_spark(
-        "bench", cores=CPUS, shuffle_partitions=max(CPUS, 16)
+        "bench", cores=CPUS, shuffle_partitions=max(3 * CPUS, 16)
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()

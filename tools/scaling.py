@@ -171,6 +171,21 @@ def main():
     hi = best_of(int(os.environ.get("SCALE_HI", "16")), n_docs, k, ext_frac)
     speedup = hi["tps"] / lo["tps"]
     eff = speedup / 4
+    # raw results are appended to a jsonl log; BENCH/BASELINE.md carries the
+    # curated analysis and is only written when absent or explicitly allowed
+    # (SCALE_WRITE_MD=1) — a rerun must not clobber the hand-written
+    # methodology notes.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(dict(ts=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                                docs=n_docs, lo=lo, hi=hi,
+                                speedup=round(speedup, 3),
+                                efficiency=round(eff, 3))) + "\n")
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(md_path) and os.environ.get("SCALE_WRITE_MD") != "1":
+        print(json.dumps(dict(lo=lo, hi=hi, speedup=round(speedup, 3),
+                              efficiency=round(eff, 3), md="kept existing")))
+        return
     md = f"""# BENCH — measured throughput + two-parallelism scaling evidence
 
 Generated by `python tools/scaling.py {n_docs}` on {time.strftime('%Y-%m-%d')}
