@@ -33,7 +33,7 @@ from gstored_spark.functions.signature import (
     pack_bits,
     str_bits,
 )
-from gstored_spark.plans.bgp import TriplePattern, match_bgp
+from gstored_spark.plans.bgp import TriplePattern, is_var, match_bgp
 
 
 def query_var_signatures(
@@ -129,6 +129,7 @@ def match_over_blocks(
     patterns: list[TriplePattern],
     projection: list[str] | None = None,
     min_degree: int = 2,
+    decode: str = "triples",
 ) -> DataFrame:
     """BGP matching that reads the EMITTED artifact, not a flat triple view
     — the analog of the reference answering queries out of its own store
@@ -142,10 +143,14 @@ def match_over_blocks(
       3. candidates semi-join into the leaf pattern views of the join tree
          (match_bgp), shrinking every downstream shuffle.
 
-    Ids are decoded through the artifact's dictionaries before matching so
-    string-term patterns apply directly (the reference decodes at result
-    time, P3 — same dictionary joins, different placement; at 10^12 scale
-    flip to id-level matching by encoding the pattern constants instead).
+    Two decode placements (same dictionary joins, different position):
+      - ``decode="triples"``: ids decoded before matching — best when
+        results are large relative to the store (bulk analytics);
+      - ``decode="ids"``: constants encoded to ids, matching runs entirely
+        on long columns, and only the RESULT columns are decoded — the
+        reference's placement (StringIndex at result time, P3,
+        GeneralEvaluation.cpp:2939-2970), best for selective queries.
+    Both return identical string bindings (asserted in tests).
     """
     from gstored_spark.kg.blocks import triples_from_adjacency
     from gstored_spark.kg.ids import decode_ids
@@ -154,14 +159,57 @@ def match_over_blocks(
     qsigs = query_var_signatures(patterns, pred_ids)
     degrees = var_degrees(patterns)
     entity_only = subject_vars(patterns)
+    id_mode = decode == "ids"
     candidates = {}
     for v, qsig in qsigs.items():
         if degrees.get(v, 0) >= min_degree and v in entity_only:
             terms, _ = candidate_terms_pruned(artifact, qsig)
-            candidates[v] = terms
+            candidates[v] = terms.join(
+                artifact.entity_dict, "term"
+            ).select("id") if id_mode else terms
 
     ids = triples_from_adjacency(artifact.adjacency)
     term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+
+    if id_mode:
+        # encode pattern constants driver-side (tiny isin collects); an
+        # unknown constant matches nothing, exactly like a dictionary miss
+        consts = {t for p in patterns for t in (p.s, p.o) if not is_var(t)}
+        cmap = {
+            r["term"]: r["id"]
+            for r in term_dict.filter(F.col("term").isin(list(consts))).collect()
+        } if consts else {}
+        pconsts = {t for p in patterns if not is_var(p.p) for t in [p.p]}
+        missing = (consts - set(cmap)) | {p for p in pconsts if p not in pred_ids}
+
+        def enc(term, table):
+            return term if is_var(term) else table.get(term, -1)
+
+        id_pats = [
+            TriplePattern(enc(p.s, cmap), enc(p.p, pred_ids), enc(p.o, cmap))
+            for p in patterns
+        ]
+        bindings = match_bgp(ids.toDF("subj", "pred", "obj"), id_pats,
+                             candidates=candidates)
+        if missing:
+            bindings = bindings.limit(0)
+        # decode only the projected result columns (StringIndex placement)
+        out_vars = [v.lstrip("?") for v in projection] if projection else bindings.columns
+        decoded = bindings
+        var_positions = {}
+        for p in patterns:
+            for role, t in (("s", p.s), ("p", p.p), ("o", p.o)):
+                if is_var(t):
+                    var_positions.setdefault(t[1:], set()).add(role)
+        for v in out_vars:
+            dic = artifact.pred_dict if var_positions.get(v) == {"p"} else term_dict
+            decoded = decoded.withColumnRenamed(v, f"_{v}_id")
+            decoded = decoded.join(
+                dic.select(F.col("id").alias(f"_{v}_id"), F.col("term").alias(v)),
+                f"_{v}_id",
+            ).drop(f"_{v}_id")
+        return decoded.select(*out_vars)
+
     t = decode_ids(ids, "s", term_dict, "subj")
     t = decode_ids(t, "p", artifact.pred_dict, "pred")
     t = decode_ids(t, "o", term_dict, "obj")

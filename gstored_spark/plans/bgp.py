@@ -27,14 +27,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 
+def is_var(term) -> bool:
+    """A pattern term is a variable iff it is a '?'-prefixed string;
+    constants may be strings (lexical terms) or ints (dictionary ids —
+    the id-level matching mode)."""
+    return isinstance(term, str) and term.startswith("?")
+
+
 @dataclass(frozen=True)
 class TriplePattern:
-    s: str  # "?var" or constant term
-    p: str
-    o: str
+    s: object  # "?var" or constant term (str lexical form | int id)
+    p: object
+    o: object
 
     def vars(self) -> set[str]:
-        return {t for t in (self.s, self.p, self.o) if t.startswith("?")}
+        return {t for t in (self.s, self.p, self.o) if is_var(t)}
 
     def n_constants(self) -> int:
         return 3 - len(self.vars())
@@ -66,19 +73,19 @@ def _pattern_df(triples: DataFrame, pat: TriplePattern, idx: int) -> tuple[DataF
     df = triples
     cols = []
     for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
-        if term.startswith("?"):
+        if is_var(term):
             cols.append(F.col(role).alias(term[1:]))
         else:
             df = df.filter(F.col(role) == term)
     out = df.select(*cols) if cols else df.select(F.lit(1).alias(f"_const_{idx}"))
     # a pattern with a repeated var (?x p ?x) needs the equality applied
-    names = [t[1:] for t in (pat.s, pat.p, pat.o) if t.startswith("?")]
+    names = [t[1:] for t in (pat.s, pat.p, pat.o) if is_var(t)]
     if len(names) != len(set(names)):
         # rebuild with positional aliases then filter equal pairs
         df2 = triples
         sel, seen, conds = [], {}, []
         for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
-            if term.startswith("?"):
+            if is_var(term):
                 v = term[1:]
                 if v in seen:
                     conds.append((seen[v], role))
@@ -107,9 +114,9 @@ def _cardinality(pat: TriplePattern, bound: set[str], pred_counts, total: int) -
     """Estimated result size of expanding by ``pat`` given already-bound
     vars — the |cand| in the reference's greedy score
     (Join.cpp:71-77, score = 100000/|cand| weighted by degree)."""
-    est = float(pred_counts.get(pat.p, total)) if not pat.p.startswith("?") else float(total)
+    est = float(pred_counts.get(pat.p, total)) if not is_var(pat.p) else float(total)
     for term in (pat.s, pat.o):
-        if not term.startswith("?") or term in bound:
+        if not is_var(term) or term in bound:
             est /= 100.0  # constant or already-bound endpoint: point probe
     return est
 
@@ -207,7 +214,7 @@ def is_star(patterns: list[TriplePattern]) -> bool:
     if not patterns:
         return False
     centers = {p.s for p in patterns}
-    return len(centers) == 1 and next(iter(centers)).startswith("?")
+    return len(centers) == 1 and is_var(next(iter(centers)))
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,19 @@ def test_partition_pruning_strict_subset(spark, toy_artifact):
     # soundness: every true ?x binding is a candidate
     got = {r["term"] for r in terms.collect()}
     assert "<ent:special>" in got
+
+def test_blocks_match_id_mode_equals_string_mode(spark, toy_artifact):
+    """decode='ids' (constants encoded, matching on long columns, results
+    decoded at the end — the reference's StringIndex placement) must return
+    identical bindings to decode='triples'."""
+    triples, art = toy_artifact
+    a = {tuple(r) for r in
+         match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1).collect()}
+    b = {tuple(r) for r in
+         match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1,
+                           decode="ids").collect()}
+    assert a == b and len(a) > 0
+    # unknown constant -> empty result, not an error (dictionary-miss
+    # semantics of the reference)
+    ghost = [TriplePattern("?x", "<p:rare>", "<ent:nosuch>")]
+    assert match_over_blocks(art, ghost, ["?x"], min_degree=1, decode="ids").count() == 0
