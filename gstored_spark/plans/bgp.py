@@ -245,6 +245,8 @@ class GroupPattern:
     filters: list = None  # str | Column boolean exprs over var columns
     joins: list["GroupPattern"] = None  # type: ignore[assignment]
     post_filters: list = None  # str | Column, applied after optionals/minus
+    exists: list["GroupPattern"] = None  # FILTER EXISTS -> leftsemi
+    not_exists: list["GroupPattern"] = None  # FILTER NOT EXISTS -> left_anti
 
     def __post_init__(self):
         self.optionals = self.optionals or []
@@ -253,6 +255,8 @@ class GroupPattern:
         self.filters = self.filters or []
         self.joins = self.joins or []
         self.post_filters = self.post_filters or []
+        self.exists = self.exists or []
+        self.not_exists = self.not_exists or []
 
 
 def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
@@ -290,6 +294,19 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
         shared = [c for c in acc.columns if c in mdf.columns]
         if shared:
             acc = acc.join(mdf.select(*shared).distinct(), shared, "left_anti")
+    # FILTER (NOT) EXISTS: correlated existence on shared vars -> semi/anti
+    # join (F7's leftsemi shape; the reference evaluates these as nested
+    # pattern groups inside the filter tree, GeneralEvaluation.cpp:2257-2286)
+    for e in g.exists:
+        edf = eval_group(triples, e)
+        shared = [c for c in acc.columns if c in edf.columns]
+        acc = acc.join(edf.select(*shared).distinct(), shared, "leftsemi") if shared \
+            else acc.join(edf.limit(1), F.lit(True), "leftsemi")
+    for e in g.not_exists:
+        edf = eval_group(triples, e)
+        shared = [c for c in acc.columns if c in edf.columns]
+        acc = acc.join(edf.select(*shared).distinct(), shared, "left_anti") if shared \
+            else acc.join(edf.limit(1), F.lit(True), "left_anti")
     for f in g.post_filters:
         acc = acc.filter(_pred(f))
     return acc

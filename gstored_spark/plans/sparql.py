@@ -232,7 +232,15 @@ class _Parser:
         while not self.at_op("}"):
             if self.at_kw("filter"):
                 self.next()
-                raw_filters.append(self.parse_constraint())
+                if self.at_kw("exists"):
+                    self.next()
+                    g.exists.append(self.parse_group())
+                elif self.at_kw("not"):
+                    self.next()
+                    self.eat_kw("exists")
+                    g.not_exists.append(self.parse_group())
+                else:
+                    raw_filters.append(self.parse_constraint())
             elif self.at_kw("optional"):
                 self.next()
                 g.optionals.append(self.parse_group())

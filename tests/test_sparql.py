@@ -225,3 +225,21 @@ def test_update_text_forms(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse_update("INSERT DATA { ?x <p:knows> <e:b> . }")  # non-ground
+
+
+def test_filter_exists_text(spark):
+    """FILTER EXISTS / NOT EXISTS text forms -> semi/anti joins on shared
+    vars (GeneralEvaluation.cpp:2257-2286 nested-group existence)."""
+    triples = spark.createDataFrame(
+        [("<e:a>", "<p:knows>", "<e:b>"),
+         ("<e:b>", "<p:knows>", "<e:c>"),
+         ("<e:a>", "<p:name>", '"al"@en')],
+        ["subj", "pred", "obj"],
+    )
+    run = lambda t: {tuple(r) for r in run_sparql(triples, t).collect()}
+    assert run(
+        "SELECT ?x WHERE { ?x <p:knows> ?y . FILTER EXISTS { ?x <p:name> ?n } }"
+    ) == {("<e:a>",)}
+    assert run(
+        "SELECT ?x WHERE { ?x <p:knows> ?y . FILTER NOT EXISTS { ?x <p:name> ?n } }"
+    ) == {("<e:b>",)}
