@@ -290,6 +290,25 @@ def _q_bgp_blocks_triangle(spark, sf):
     return match_over_blocks(art, pats, ["?o", "?c", "?n", "?s"])
 
 
+def _q_bgp_assembly(spark, sf):
+    """Partial-evaluation-and-assembly parity (the gqueryD flagship
+    lifecycle, Main/gqueryD.cpp:405-440): every partition answers each
+    pattern over its OWN blocks (crossing replicas included), partial
+    matches are deduped across partitions and reassembled by iterative
+    greedy-ordered hash joins (Util.cpp:1777-1858) — hash-matches the same
+    flat-view triangle oracle as bgp_triangle/bgp_blocks_triangle."""
+    from gstored_spark.kg.match import match_partitioned
+    from gstored_spark.plans.bgp import TriplePattern
+
+    art = _graph_artifact(spark, sf)
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "?n"),
+        TriplePattern("?s", "<in_nation>", "?n"),
+    ]
+    return match_partitioned(art, pats, ["?o", "?c", "?n", "?s"])
+
+
 def _q_pred_var_join(spark, sf):
     """J7 predicate-variable resolution (Join.cpp:466-700): (?s ?p const)."""
     from gstored_spark.plans.bgp import TriplePattern, match_bgp
@@ -414,6 +433,27 @@ def _q_delete_where(spark, sf):
     ]
     t = _graph_triples(spark, sf)
     return delete_where_triples(t, pats).select("subj", "pred", "obj")
+
+
+def _q_modify_where(spark, sf):
+    """SPARQL UPDATE MODIFY from TEXT (DELETE {...} INSERT {...} WHERE
+    {...}; dispatch Database.cpp:619-635, triple materialization
+    GeneralEvaluation.cpp:3008-3065): rewires orders of nation-3 customers
+    from <placed_by> edges to direct <was_in> nation edges; returns the
+    post-update triple set."""
+    from gstored_spark.plans.sparql import run_update
+
+    text = """
+        DELETE { ?o <placed_by> ?c }
+        INSERT { ?o <was_in> ?n }
+        WHERE {
+            ?o <placed_by> ?c .
+            ?c <in_nation> ?n .
+            FILTER (?n = "nat:3")
+        }
+    """
+    t = _graph_triples(spark, sf)
+    return run_update(t, text).select("subj", "pred", "obj")
 
 
 def _q_exists_filter(spark, sf):
@@ -644,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signature_bits": _q_signature_bits,
         "bgp_triangle": _q_bgp_triangle,
         "bgp_blocks_triangle": _q_bgp_blocks_triangle,
+        "bgp_assembly": _q_bgp_assembly,
         "bgp_star": _q_bgp_star,
         "pred_var_join": _q_pred_var_join,
         "bgp_optional": _q_bgp_optional,
@@ -654,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_parsed": _q_bgp_parsed,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
+        "modify_where": _q_modify_where,
         "exists_filter": _q_exists_filter,
         "regex_filter": _q_regex_filter,
         "scalar_funcs": _q_scalar_funcs,
@@ -761,6 +803,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
               AND t3.pred = '<in_nation>'
         """,
+        "bgp_assembly": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n, t3.subj AS s
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj JOIN g t3 ON t2.obj = t3.obj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND t3.pred = '<in_nation>'
+        """,
         "bgp_star": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT t1.subj AS c, t2.subj AS o
@@ -861,6 +910,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM doomed d
                               WHERE d.subj = g.subj AND d.pred = g.pred
                                 AND d.obj = g.obj)
+        """,
+        "modify_where": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            b AS (
+                SELECT t1.subj AS o, t1.obj AS c, t2.obj AS n
+                FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+                WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+                  AND t2.obj = 'nat:3'
+            ),
+            doomed AS (SELECT o AS subj, '<placed_by>' AS pred, c AS obj FROM b),
+            inserted AS (SELECT DISTINCT o AS subj, '<was_in>' AS pred, n AS obj FROM b),
+            kept AS (
+                SELECT g.subj, g.pred, g.obj FROM g
+                WHERE NOT EXISTS (SELECT 1 FROM doomed d
+                                  WHERE d.subj = g.subj AND d.pred = g.pred
+                                    AND d.obj = g.obj)
+            )
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT * FROM kept UNION ALL SELECT * FROM inserted)
         """,
         "exists_filter": """
             SELECT c_custkey FROM customer c

@@ -44,8 +44,10 @@ QUERY_NAMES = [
     "filter_pushdown",
     "bgp_triangle",
     "bgp_blocks_triangle",
+    "bgp_assembly",
     "bgp_star",
     "bgp_parsed",
+    "modify_where",
     "term_funcs",
     "delete_where",
     "groupcc",
@@ -91,6 +93,13 @@ def main():
     timings["kg_pipeline"] = round(pipeline_sec, 3)
 
     # --- operator queries ------------------------------------------------
+    # right-size the query leg: 3x-cores shuffle partitions are pipeline
+    # sizing; the operator queries run on sf-scale inputs where that many
+    # reducers is pure coordination (round-2 regression: minhash_dedup on
+    # 500 docs went 10 s -> 28 s under 96 partitions). Runtime-settable,
+    # so the pipeline leg above keeps its own sizing.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
     # build the on-disk graph artifact once, untimed (store construction is
     # the pipeline leg's job; bgp_blocks_triangle measures QUERYING the store)
     t0 = time.time()

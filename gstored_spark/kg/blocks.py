@@ -122,6 +122,28 @@ def partition_signature(part_sigs: DataFrame) -> DataFrame:
     return sig_or(part_sigs, ["part"], "sig")
 
 
+SIG_BUCKETS = 16
+
+
+def with_sig_buckets(part_sigs: DataFrame, buckets: int = SIG_BUCKETS) -> DataFrame:
+    """Add the VS*-tree *inner-level* key under each partition:
+    bucket = pmod(xxhash64(v), B). Deterministic in the vertex id, so the
+    same vertex lands in the same bucket at any parallelism."""
+    return part_sigs.withColumn(
+        "bucket", F.pmod(F.xxhash64("v"), F.lit(buckets)).cast("int")
+    )
+
+
+def bucket_signature(bucketed_sigs: DataFrame) -> DataFrame:
+    """OR-aggregate per (part, bucket) — the VS*-tree inner-node analog
+    (parent = OR of children, VSTree/VSTree.cpp:146-219) one level below the
+    partition root. At production vertex counts a partition's root
+    OR-signature saturates (every bit set) and root-only pruning degrades to
+    scan-everything; the bucket level keeps pruning effective because each
+    OR covers ~1/B of the vertices."""
+    return sig_or(bucketed_sigs, ["part", "bucket"], "sig")
+
+
 def write_blocks(adj: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
     """Materialize adjacency blocks partitioned by graph partition — the
     parquet layout downstream BGP matching scans with partition pruning."""
@@ -137,21 +159,40 @@ def write_blocks(adj: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
 # strict subset of them when query signatures allow).
 
 
+def predicate_stats(id_triples: DataFrame) -> DataFrame:
+    """p2num statistics (KVstore/KVstore.h:296-301 preID2num): per-predicate
+    triple counts, persisted with the artifact so the matcher's
+    cardinality-based join ordering (Join.cpp:71-77 score) works by default
+    without a planning-time pass over the store."""
+    return id_triples.groupBy(F.col("p").alias("pid")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def write_artifact(result, out_dir: str, mode: str = "overwrite") -> None:
     """PipelineResult -> on-disk graph store:
-    adjacency/ (part=...), signatures/ (part=...), part_sig/,
-    entity_dict/ literal_dict/ pred_dict/."""
+    adjacency/ (part=...), signatures/ (part=..., bucketed), part_sig/,
+    bucket_sig/, pred_stats/, entity_dict/ literal_dict/ pred_dict/."""
     result.adjacency.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")
-    part_sigs = partitioned_signatures(result.signatures, result.internal)
-    part_sigs.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/signatures")
+    part_sigs = with_sig_buckets(partitioned_signatures(result.signatures, result.internal))
+    # (part, bucket) are both partition directories: the matcher's
+    # disjunctive (part, bucket) filter prunes at file level on both
+    part_sigs.write.mode(mode).partitionBy("part", "bucket").parquet(
+        f"{out_dir}/signatures"
+    )
     result.part_sig.write.mode(mode).parquet(f"{out_dir}/part_sig")
+    bucket_signature(part_sigs).write.mode(mode).parquet(f"{out_dir}/bucket_sig")
+    predicate_stats(result.id_triples).write.mode(mode).parquet(f"{out_dir}/pred_stats")
     result.entity_dict.write.mode(mode).parquet(f"{out_dir}/entity_dict")
     result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
     result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
 
 
 class GraphArtifact:
-    """Lazy reader over the emitted store (the query engine's view)."""
+    """Lazy reader over the emitted store (the query engine's view).
+    ``bucket_sig`` / ``pred_stats`` are None for artifacts written before
+    those tables existed (readers degrade to partition-only pruning and
+    constants-first ordering)."""
 
     def __init__(self, spark, art_dir: str):
         self.dir = art_dir
@@ -161,6 +202,17 @@ class GraphArtifact:
         self.entity_dict = spark.read.parquet(f"{art_dir}/entity_dict")
         self.literal_dict = spark.read.parquet(f"{art_dir}/literal_dict")
         self.pred_dict = spark.read.parquet(f"{art_dir}/pred_dict")
+        self.bucket_sig = self._opt(spark, f"{art_dir}/bucket_sig")
+        self.pred_stats = self._opt(spark, f"{art_dir}/pred_stats")
+
+    @staticmethod
+    def _opt(spark, path):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:  # table absent in older artifacts
+            return None
 
 
 def triples_from_adjacency(adj: DataFrame) -> DataFrame:

@@ -10,10 +10,11 @@ deterministic top-1 score:
 Scale shape: scoring joins the *distinct surface forms* (tiny vs. the
 mention stream) against the dictionary on a lowercase blocking key, so the
 expensive string math runs once per surface form, not once per mention; the
-dictionary is broadcast (predicates/aliases are small relative to triples,
-same rationale the reference uses for predicate encoding,
-Signature/Signature.cpp:56-61). No Python: Jaccard on char-3-gram arrays is
-JVM-side.
+dictionary broadcast is ADAPTIVE (maybe_broadcast) — aliases are
+O(distinct name statements) ~ O(entities), so at web scale the hint is
+withheld and Catalyst shuffle-joins on the blocking key instead (unlike
+predicates, which are genuinely small, Signature/Signature.cpp:56-61).
+No Python: Jaccard on char-3-gram arrays is JVM-side.
 """
 
 from __future__ import annotations
@@ -61,9 +62,13 @@ def alias_dictionary(mention_triples: DataFrame) -> DataFrame:
 def link_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
     """surfaces(surface) -> (surface, linked): dictionary hit replaces the
     surface with its canonical name; misses keep the surface. Top-1 among
-    competing candidates by (jaccard desc, canonical asc)."""
+    competing candidates by (jaccard desc, canonical asc).
+
+    The dictionary is materialized once (checkpoint), then broadcast only
+    when actually small — the probe and the join both reuse the
+    materialized blocks instead of recomputing the distinct."""
     s = surfaces.select("surface", light_norm(F.col("surface")).alias("alias"))
-    joined = s.join(F.broadcast(aliases), "alias", "left")
+    joined = s.join(maybe_broadcast(aliases.localCheckpoint(eager=True)), "alias", "left")
     scored = joined.withColumn(
         "jaccard",
         F.when(F.col("canonical").isNull(), F.lit(-1.0)).otherwise(

@@ -102,21 +102,42 @@ def pruned_partitions(part_sig: DataFrame, qsig: list[int]) -> DataFrame:
     return part_sig.filter(covers(F.col("sig"), lit)).select("part")
 
 
+def pruned_buckets(bucket_sig: DataFrame, qsig: list[int]) -> DataFrame:
+    """bucket_sig(part, bucket, sig) -> (part, bucket) pairs that MAY
+    contain candidates — the VS*-tree inner-level skip (parent=OR of
+    children, VSTree/VSTree.cpp:146-219), one level under the root."""
+    lit = F.array(*[F.lit(w).cast("long") for w in qsig])
+    return bucket_sig.filter(covers(F.col("sig"), lit)).select("part", "bucket")
+
+
 def candidate_terms_pruned(
     artifact, qsig: list[int]
 ) -> tuple[DataFrame, DataFrame]:
-    """Candidate IRIs from the on-disk artifact with PARTITION PRUNING:
-    partitions whose OR-signature does not cover the query signature are
-    never scanned — `part` is a parquet partition column, so the
-    `part IN (...)` filter prunes whole `part=` directories before any IO
-    (the VS*-tree upper-level skip, VSTree/VSTree.cpp:1482-1589, re-expressed
-    as datasource partition pruning).
+    """Candidate IRIs from the on-disk artifact with HIERARCHICAL PRUNING:
+    (part, bucket) groups whose OR-signature does not cover the query
+    signature are never scanned — both are parquet partition columns of the
+    signatures table, so the disjunctive filter prunes whole
+    `part=.../bucket=...` directories before any IO (the VS*-tree BFS skip,
+    VSTree/VSTree.cpp:1482-1589, re-expressed as datasource partition
+    pruning; bucket level present for artifacts written with bucket_sig,
+    else the root/partition level alone prunes).
 
     Returns (candidate term DF, the pruned signature scan DF — exposed so
     tests can assert the file-level subset)."""
-    keep = [r["part"] for r in pruned_partitions(artifact.part_sig, qsig).collect()]
     lit = F.array(*[F.lit(w).cast("long") for w in qsig])
-    scan = artifact.signatures.filter(F.col("part").isin(keep))
+    if artifact.bucket_sig is not None and "bucket" in artifact.signatures.columns:
+        by_part: dict[int, list[int]] = {}
+        for r in pruned_buckets(artifact.bucket_sig, qsig).collect():
+            by_part.setdefault(r["part"], []).append(r["bucket"])
+        cond = F.lit(False)
+        for pt in sorted(by_part):
+            cond = cond | (
+                (F.col("part") == pt) & F.col("bucket").isin(by_part[pt])
+            )
+        scan = artifact.signatures.filter(cond)
+    else:
+        keep = [r["part"] for r in pruned_partitions(artifact.part_sig, qsig).collect()]
+        scan = artifact.signatures.filter(F.col("part").isin(keep))
     cand = scan.filter(covers(F.col("sig"), lit)).select("v").distinct()
     terms = cand.join(
         artifact.entity_dict.select(F.col("id").alias("v"), "term"), "v"
@@ -129,7 +150,7 @@ def match_over_blocks(
     patterns: list[TriplePattern],
     projection: list[str] | None = None,
     min_degree: int = 2,
-    decode: str = "triples",
+    decode: str = "auto",
 ) -> DataFrame:
     """BGP matching that reads the EMITTED artifact, not a flat triple view
     — the analog of the reference answering queries out of its own store
@@ -138,28 +159,51 @@ def match_over_blocks(
       1. pattern views are reconstituted from ``explode(out)`` of the
          adjacency blocks (internal vertices only — exact triple bag);
       2. per-var signature candidates are scanned from the artifact's
-         signature table with whole-partition pruning via the OR-aggregate
-         partition signatures (candidate_terms_pruned);
-      3. candidates semi-join into the leaf pattern views of the join tree
-         (match_bgp), shrinking every downstream shuffle.
+         signature table with hierarchical (part, bucket) pruning via the
+         OR-aggregate signatures (candidate_terms_pruned);
+      3. degree-1 subject vars (below the signature threshold) are
+         pre-filtered by required out-predicates from the per-vertex
+         predicate sets — the satellite filter (F4,
+         Join::filterBySatellites, Join.cpp:2419-2700);
+      4. candidates semi-join into the leaf pattern views of the join tree
+         (match_bgp), shrinking every downstream shuffle;
+      5. join order follows the persisted p2num stats when present
+         (Join.cpp:71-77 cardinality score) — no caller opt-in needed.
 
-    Two decode placements (same dictionary joins, different position):
-      - ``decode="triples"``: ids decoded before matching — best when
-        results are large relative to the store (bulk analytics);
+    Decode placements (same dictionary joins, different position):
+      - ``decode="triples"``: ids decoded before matching — bulk analytics;
       - ``decode="ids"``: constants encoded to ids, matching runs entirely
         on long columns, and only the RESULT columns are decoded — the
         reference's placement (StringIndex at result time, P3,
-        GeneralEvaluation.cpp:2939-2970), best for selective queries.
-    Both return identical string bindings (asserted in tests).
+        GeneralEvaluation.cpp:2939-2970);
+      - ``decode="auto"`` (default): id mode unless some var spans the
+        predicate and subject/object positions — predicate ids live in
+        their own dense-from-0 namespace overlapping entity ids, so a
+        mixed-position var cannot be decoded from one dictionary (such
+        shapes use the string-level path).
+    All placements return identical string bindings (asserted in tests).
     """
-    from gstored_spark.kg.blocks import triples_from_adjacency
+    from gstored_spark.kg.blocks import triples_from_adjacency, vertex_predicate_sets
     from gstored_spark.kg.ids import decode_ids
+    from gstored_spark.kg.link import maybe_broadcast
 
     pred_ids = {r["term"]: r["id"] for r in artifact.pred_dict.collect()}
     qsigs = query_var_signatures(patterns, pred_ids)
     degrees = var_degrees(patterns)
     entity_only = subject_vars(patterns)
+
+    var_positions: dict[str, set] = {}
+    for p in patterns:
+        for role, t in (("s", p.s), ("p", p.p), ("o", p.o)):
+            if is_var(t):
+                var_positions.setdefault(t[1:], set()).add(role)
+    mixed = any("p" in r and r != {"p"} for r in var_positions.values())
+    if decode == "auto":
+        decode = "triples" if mixed else "ids"
+    elif decode == "ids" and mixed:
+        decode = "triples"  # id-decode would be wrong for mixed-position vars
     id_mode = decode == "ids"
+
     candidates = {}
     for v, qsig in qsigs.items():
         if degrees.get(v, 0) >= min_degree and v in entity_only:
@@ -168,8 +212,39 @@ def match_over_blocks(
                 artifact.entity_dict, "term"
             ).select("id") if id_mode else terms
 
+    # F4 satellite pre-filter: subject vars the signature path skipped but
+    # that must carry specific out-predicates
+    sat_req: dict[str, set[int]] = {}
+    for p in patterns:
+        if is_var(p.s) and not is_var(p.p):
+            v = p.s[1:]
+            pid = pred_ids.get(p.p)
+            if pid is not None and v not in candidates:
+                sat_req.setdefault(v, set()).add(pid)
+    if sat_req:
+        psets = vertex_predicate_sets(artifact.adjacency.filter("is_internal"))
+        for v, pids in sat_req.items():
+            req = F.array(*[F.lit(int(x)).cast("long") for x in sorted(pids)])
+            cand_v = psets.filter(
+                F.forall(req, lambda x: F.array_contains("out_preds", x))
+            ).select("v").distinct()
+            candidates[v] = cand_v if id_mode else cand_v.join(
+                artifact.entity_dict.withColumnRenamed("id", "v"), "v"
+            ).select("term")
+
+    # default cardinality-based ordering from the persisted p2num stats
+    pred_counts = None
+    if artifact.pred_stats is not None:
+        pid_counts = {r["pid"]: r["n"] for r in artifact.pred_stats.collect()}
+        pred_counts = pid_counts if id_mode else {
+            t: pid_counts.get(i, 0) for t, i in pred_ids.items()
+        }
+
     ids = triples_from_adjacency(artifact.adjacency)
-    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+    # dictionaries are broadcast when actually small (adaptive — at web
+    # scale the term dictionary outgrows the hint and shuffle-joins instead)
+    term_dict = maybe_broadcast(artifact.entity_dict.unionByName(artifact.literal_dict))
+    pred_dict = F.broadcast(artifact.pred_dict)  # predicates are few by design
 
     if id_mode:
         # encode pattern constants driver-side (tiny isin collects); an
@@ -190,19 +265,14 @@ def match_over_blocks(
             for p in patterns
         ]
         bindings = match_bgp(ids.toDF("subj", "pred", "obj"), id_pats,
-                             candidates=candidates)
+                             candidates=candidates, pred_counts=pred_counts)
         if missing:
             bindings = bindings.limit(0)
         # decode only the projected result columns (StringIndex placement)
         out_vars = [v.lstrip("?") for v in projection] if projection else bindings.columns
         decoded = bindings
-        var_positions = {}
-        for p in patterns:
-            for role, t in (("s", p.s), ("p", p.p), ("o", p.o)):
-                if is_var(t):
-                    var_positions.setdefault(t[1:], set()).add(role)
         for v in out_vars:
-            dic = artifact.pred_dict if var_positions.get(v) == {"p"} else term_dict
+            dic = pred_dict if var_positions.get(v) == {"p"} else term_dict
             decoded = decoded.withColumnRenamed(v, f"_{v}_id")
             decoded = decoded.join(
                 dic.select(F.col("id").alias(f"_{v}_id"), F.col("term").alias(v)),
@@ -211,10 +281,99 @@ def match_over_blocks(
         return decoded.select(*out_vars)
 
     t = decode_ids(ids, "s", term_dict, "subj")
-    t = decode_ids(t, "p", artifact.pred_dict, "pred")
+    t = decode_ids(t, "p", pred_dict, "pred")
     t = decode_ids(t, "o", term_dict, "obj")
     triples = t.select("subj", "pred", "obj")
-    return match_bgp(triples, patterns, projection=projection, candidates=candidates)
+    return match_bgp(triples, patterns, projection=projection,
+                     candidates=candidates, pred_counts=pred_counts)
+
+
+def match_partitioned(
+    artifact,
+    patterns: list[TriplePattern],
+    projection: list[str] | None = None,
+) -> DataFrame:
+    """Partial-evaluation-and-assembly parity with the flagship gqueryD
+    lifecycle (SURVEY §3.1, Main/gqueryD.cpp:405-440): every partition
+    answers each triple pattern over its OWN local blocks — all vertices of
+    the partition including crossing replicas, the local bag gloadD routing
+    produced (gloadD.cpp:118-153) — then the per-pattern local match sets
+    are unioned across partitions, deduped (the master's URIIDMap remap
+    step, gqueryD.cpp:268-359), and reassembled by iterative hash joins in
+    greedy order (Util::HashJoin_old, Util/Util.cpp:1777-1858).
+
+    Star BGPs short-circuit (Database.cpp:661-671, QueryTree.cpp:559-582):
+    under crossing-edge replication a star match is complete inside the
+    center's owner partition, so per-partition matches over INTERNAL
+    centers union disjointly — no cross-partition dedupe, no assembly.
+
+    Result-equal to match_over_blocks (asserted in tests and by the
+    bgp_assembly driver oracle).
+    """
+    from gstored_spark.kg.ids import decode_ids
+    from gstored_spark.kg.link import maybe_broadcast
+    from gstored_spark.plans.bgp import _pattern_df, greedy_order, is_star, is_var
+
+    term_dict = maybe_broadcast(
+        artifact.entity_dict.unionByName(artifact.literal_dict)
+    )
+    local = artifact.adjacency.select(
+        "part",
+        F.col("is_internal").alias("center_internal"),
+        F.col("v").alias("s"),
+        F.explode("out").alias("e"),
+    ).select(
+        "part", "center_internal", "s",
+        F.col("e.p").alias("p"), F.col("e.o").alias("o"),
+    )
+    t = decode_ids(local, "s", term_dict, "subj")
+    t = decode_ids(t, "p", F.broadcast(artifact.pred_dict), "pred")
+    t = decode_ids(t, "o", term_dict, "obj")
+
+    if is_star(patterns):
+        # star short-circuit: join per partition, internal centers only
+        src = t.filter("center_internal").select("part", "subj", "pred", "obj")
+        acc, acc_vars = None, set()
+        for idx in greedy_order(patterns):
+            pat = patterns[idx]
+            df = src
+            cols = [F.col("part")]
+            for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+                if is_var(term):
+                    cols.append(F.col(role).alias(term[1:]))
+                else:
+                    df = df.filter(F.col(role) == term)
+            pdf = df.select(*cols)
+            pvars = {v[1:] for v in pat.vars()}
+            if acc is None:
+                acc, acc_vars = pdf, pvars
+            else:
+                acc = acc.join(pdf, ["part"] + sorted(acc_vars & pvars), "inner")
+                acc_vars |= pvars
+        out = acc.drop("part")
+    else:
+        bag = t.select("subj", "pred", "obj")
+        acc, acc_vars = None, set()
+        for idx in greedy_order(patterns):
+            # LOCAL partial match for this pattern (evaluated inside every
+            # partition's bag), then cross-partition dedupe: a crossing
+            # triple lives in exactly two partitions and must contribute
+            # one solution (set-semantics store)
+            pdf, pvars = _pattern_df(bag, patterns[idx], idx)
+            pdf = pdf.distinct()
+            if acc is None:
+                acc, acc_vars = pdf, pvars
+                continue
+            shared = [v[1:] for v in (acc_vars & pvars)]
+            acc = acc.join(pdf, shared, "inner") if shared else acc.crossJoin(pdf)
+            acc_vars |= pvars
+        out = acc
+        drop = [c for c in out.columns if c.startswith("_const_")]
+        if drop:
+            out = out.drop(*drop)
+    if projection:
+        out = out.select(*[v.lstrip("?") for v in projection])
+    return out
 
 
 def match_with_signatures(

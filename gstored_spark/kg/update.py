@@ -113,6 +113,53 @@ def matched_triples(triples_str: DataFrame, patterns: list) -> DataFrame:
     return doomed.distinct()
 
 
+def instantiate_templates(bindings: DataFrame, templates: list) -> DataFrame:
+    """bindings x triple templates -> distinct (subj, pred, obj) rows with
+    the bindings substituted into each template's variable slots — the
+    prepareUpdateTriple materialization (GeneralEvaluation.cpp:3008-3065)."""
+    out = None
+    for pat in templates:
+        sel = []
+        for role, term in (("subj", pat.s), ("pred", pat.p), ("obj", pat.o)):
+            if isinstance(term, str) and term.startswith("?"):
+                sel.append(F.col(term[1:]).alias(role))
+            else:
+                sel.append(F.lit(term).alias(role))
+        d = bindings.select(*sel)
+        out = d if out is None else out.unionByName(d)
+    return out.distinct()
+
+
+def modify_where_triples(
+    triples: DataFrame,
+    delete_templates: list,
+    insert_templates: list,
+    where_group,
+) -> DataFrame:
+    """String-level SPARQL MODIFY (DELETE {...} INSERT {...} WHERE {...},
+    dispatch Database.cpp:619-635, triple materialization
+    GeneralEvaluation.cpp:3008-3065): evaluate WHERE once, materialize both
+    template sets against its bindings, anti-join the deletes out and merge
+    the inserts in. Returns (subj, pred, obj, o_is_entity)."""
+    from gstored_spark.plans.bgp import eval_group
+
+    bindings = eval_group(triples.select("subj", "pred", "obj"), where_group)
+    out = triples.select(
+        "subj", "pred", "obj",
+        (~F.col("obj").startswith('"')).alias("o_is_entity")
+        if "o_is_entity" not in triples.columns else F.col("o_is_entity"),
+    )
+    if delete_templates:
+        doomed = instantiate_templates(bindings, delete_templates)
+        out = out.join(doomed, ["subj", "pred", "obj"], "left_anti")
+    if insert_templates:
+        ins = instantiate_templates(bindings, insert_templates).withColumn(
+            "o_is_entity", ~F.col("obj").startswith('"')
+        )
+        out = out.unionByName(ins).distinct()
+    return out
+
+
 def delete_where_triples(triples: DataFrame, patterns: list) -> DataFrame:
     """String-level DELETE WHERE: remaining (subj, pred, obj[, ...rest])
     after removing every triple the BGP matches — one anti-join

@@ -272,9 +272,19 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
         return F.expr(f) if isinstance(f, str) else f
 
     acc = match_bgp(triples, g.patterns) if g.patterns else None
-    for branch in g.unions:
-        b = eval_group(triples, branch)
-        acc = b if acc is None else acc.unionByName(b, allowMissingColumns=True)
+    if g.unions:
+        # branches union into ONE relation (A ∪ B ∪ ...), which then JOINS
+        # the base bindings on shared vars — SPARQL group semantics
+        # {P . {A} UNION {B}} = P ⋈ (A ∪ B), not (P ∪ A ∪ B)
+        u: DataFrame | None = None
+        for branch in g.unions:
+            b = eval_group(triples, branch)
+            u = b if u is None else u.unionByName(b, allowMissingColumns=True)
+        if acc is None:
+            acc = u
+        else:
+            shared = [c for c in acc.columns if c in u.columns]
+            acc = acc.join(u, shared, "inner") if shared else acc.crossJoin(u)
     for j in g.joins:
         jdf = eval_group(triples, j)
         if acc is None:

@@ -12,13 +12,18 @@ LANGMATCHES, DATATYPE, BOUND, sameTerm, isIRI, isURI, isBLANK, isLITERAL,
 REGEX; expression lattice GeneralEvaluation.cpp:1535-1851), DISTINCT /
 REDUCED, ORDER BY, LIMIT / OFFSET, and ASK.
 
+Beyond the reference's builtin set, ``FILTER EXISTS { ... }`` and
+``FILTER NOT EXISTS { ... }`` are parsed and compile to semi/anti joins on
+shared vars (GroupPattern.exists/not_exists), and SPARQL UPDATE text covers
+INSERT DATA / DELETE DATA / DELETE WHERE / MODIFY
+(``DELETE {...} INSERT {...} WHERE {...}``).
+
 Grammar notes (deliberate, documented simplifications):
   - comparison operators in FILTERs need whitespace around ``<``/``>``
     (otherwise they tokenize as IRI brackets);
   - a plain string constant compares against STR()-style values, so
     ``?n = "x"`` matches ``"x"`` and ``"x"@en`` (the reference's multitype
-    lattice likewise compares on the value, not the tag);
-  - EXISTS is not in the reference's builtin set and is not parsed.
+    lattice likewise compares on the value, not the tag).
 """
 
 from __future__ import annotations
@@ -143,8 +148,15 @@ class _Parser:
     @staticmethod
     def num_term(text: str) -> str:
         """Bare numbers in triple patterns take the reference's normalized
-        typed-literal form (RDFParser.cpp:36-63)."""
-        dt = "integer" if re.fullmatch(r"[+-]?\d+", text) else "decimal"
+        typed-literal form (RDFParser.cpp:36-63), mirroring the Turtle
+        source exactly: exponent -> xsd:double, fraction -> xsd:decimal,
+        else xsd:integer (sources/turtle.py token classes)."""
+        if re.fullmatch(r"[+-]?\d+", text):
+            dt = "integer"
+        elif "e" in text or "E" in text:
+            dt = "double"
+        else:
+            dt = "decimal"
         return f'"{text}"^^<{XSD}{dt}>'
 
     def triple_term(self) -> str:
@@ -260,10 +272,24 @@ class _Parser:
                 if self.at_op("."):
                     self.next()
             else:
+                # predicate-object lists (';') and object lists (',') —
+                # same desugaring loop as the Turtle source (sources/turtle.py)
                 s = self.triple_term()
-                p = self.triple_term()
-                o = self.triple_term()
-                g.patterns.append(TriplePattern(s, p, o))
+                while True:
+                    p = self.triple_term()
+                    while True:
+                        o = self.triple_term()
+                        g.patterns.append(TriplePattern(s, p, o))
+                        if self.at_op(","):
+                            self.next()
+                            continue
+                        break
+                    if self.at_op(";"):
+                        self.next()
+                        if self.at_op(".", "}"):  # trailing ';' is legal
+                            break
+                        continue
+                    break
                 if self.at_op("."):
                     self.next()
         self.eat_op("}")
@@ -524,14 +550,28 @@ def _group_vars(g: GroupPattern) -> list[str]:
 
 @dataclass
 class ParsedUpdate:
-    form: str  # 'insert_data' | 'delete_data' | 'delete_where'
-    patterns: list[TriplePattern]  # ground triples for *_data
+    form: str  # 'insert_data' | 'delete_data' | 'delete_where' | 'modify'
+    patterns: list[TriplePattern]  # ground triples for *_data; BGP for delete_where
+    delete_templates: list[TriplePattern] = field(default_factory=list)
+    insert_templates: list[TriplePattern] = field(default_factory=list)
+    where: GroupPattern | None = None
+
+
+def _template_patterns(g: GroupPattern, clause: str) -> list[TriplePattern]:
+    """A MODIFY template group must be a plain triple list."""
+    if g.optionals or g.unions or g.minus or g.filters or g.joins \
+            or g.post_filters or g.exists or g.not_exists:
+        raise ValueError(f"{clause} template must contain only triples")
+    return g.patterns
 
 
 def parse_update(text: str) -> ParsedUpdate:
-    """SPARQL UPDATE text subset (QueryTree update types, evaluation
-    GeneralEvaluation.cpp:3008-3065): INSERT DATA { ... }, DELETE DATA
-    { ... }, DELETE WHERE { ... }."""
+    """SPARQL UPDATE text subset (QueryTree update types, dispatch
+    Database.cpp:619-635, evaluation GeneralEvaluation.cpp:3008-3065):
+      INSERT DATA { ... }              DELETE DATA { ... }
+      DELETE WHERE { ... }
+      DELETE { tmpl } INSERT { tmpl } WHERE { ... }   (either clause
+      optional — the MODIFY form; templates may reference WHERE vars)."""
     p = _Parser(tokenize(text))
     while p.at_kw("prefix"):
         p.next()
@@ -539,18 +579,39 @@ def parse_update(text: str) -> ParsedUpdate:
         p.prefixes[ns.text] = iri.text[1:-1]
     if p.at_kw("insert"):
         p.next()
-        p.eat_kw("data")
-        form = "insert_data"
+        if p.at_kw("data"):
+            p.next()
+            form = "insert_data"
+        else:  # INSERT { tmpl } WHERE { ... }
+            ins = _template_patterns(p.parse_group(), "INSERT")
+            p.eat_kw("where")
+            where = p.parse_group()
+            if p.peek() is not None:
+                raise ValueError(f"trailing tokens at {p.peek()}")
+            return ParsedUpdate("modify", [], [], ins, where)
     elif p.at_kw("delete"):
         p.next()
         if p.at_kw("data"):
             p.next()
             form = "delete_data"
-        else:
-            p.eat_kw("where")
+        elif p.at_kw("where"):
+            p.next()
             form = "delete_where"
+        else:  # DELETE { tmpl } [INSERT { tmpl }] WHERE { ... }
+            dels = _template_patterns(p.parse_group(), "DELETE")
+            ins: list[TriplePattern] = []
+            if p.at_kw("insert"):
+                p.next()
+                ins = _template_patterns(p.parse_group(), "INSERT")
+            p.eat_kw("where")
+            where = p.parse_group()
+            if p.peek() is not None:
+                raise ValueError(f"trailing tokens at {p.peek()}")
+            return ParsedUpdate("modify", [], dels, ins, where)
     else:
-        raise ValueError("expected INSERT DATA / DELETE DATA / DELETE WHERE")
+        raise ValueError(
+            "expected INSERT [DATA] / DELETE [DATA|WHERE] / DELETE..INSERT..WHERE"
+        )
     g = p.parse_group()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens at {p.peek()}")
@@ -564,12 +625,16 @@ def parse_update(text: str) -> ParsedUpdate:
 def run_update(triples: DataFrame, text: str) -> DataFrame:
     """Apply a parsed update to a string-triple DataFrame
     (subj, pred, obj[, o_is_entity]) -> the post-update triple set."""
-    from gstored_spark.kg.update import delete_where_triples
+    from gstored_spark.kg.update import delete_where_triples, modify_where_triples
 
     u = parse_update(text)
     spark = triples.sparkSession
     if u.form == "delete_where":
         return delete_where_triples(triples, u.patterns)
+    if u.form == "modify":
+        return modify_where_triples(
+            triples, u.delete_templates, u.insert_templates, u.where
+        )
     ground = spark.createDataFrame(
         [(p.s, p.p, p.o, not p.o.startswith('"')) for p in u.patterns],
         ["subj", "pred", "obj", "o_is_entity"],
@@ -591,11 +656,19 @@ def run_sparql(triples: DataFrame, text: str) -> DataFrame:
     if q.form == "ask":
         return df.limit(1).select(F.lit(True).alias("ask"))
     proj = q.projection if q.projection is not None else _group_vars(q.group)
-    df = df.select(*proj)
-    return modifiers(
-        df,
-        distinct=q.distinct,
-        order_by=q.order_by or None,
-        limit=q.limit,
-        offset=q.offset,
-    )
+    # a projected var bound nowhere in the group is unbound -> NULL column
+    # (SPARQL unbound semantics, not an analysis error)
+    for v in proj:
+        if v not in df.columns:
+            df = df.withColumn(v, F.lit(None).cast("string"))
+    order = [(c, asc) for c, asc in q.order_by if c in df.columns] or None
+    if q.distinct:
+        # DISTINCT applies to the projected multiset; only projected sort
+        # keys survive it
+        df = df.select(*proj).distinct()
+        order = [(c, asc) for c, asc in (order or []) if c in proj] or None
+        return modifiers(df, order_by=order, limit=q.limit, offset=q.offset)
+    # ORDER BY may reference non-projected vars: sort the full relation,
+    # then project (sort order is preserved through the narrow select)
+    df = modifiers(df, order_by=order, limit=q.limit, offset=q.offset)
+    return df.select(*proj)

@@ -12,9 +12,11 @@ reference ingest (Parser/RDFParser.cpp:33-62):
   bare double (exp)    -> "lex"^^<xsd:double>
   true/false           -> "lex"^^<xsd:boolean>
 
-Subset: anonymous blank nodes ``[...]`` and RDF collections ``(...)`` are
-rejected with a clear error (the reference's TurtleParser supports them;
-they do not occur in its example corpora or tests).
+Anonymous blank nodes ``[...]`` (nested property lists included) desugar to
+fresh ``_:`` labels, and RDF collections ``(...)`` desugar to
+rdf:first/rdf:rest chains ending in rdf:nil — the same triples the
+reference's TurtleParser emits for these forms. Generated labels use a
+prefix chosen to not collide with any label appearing in the document.
 
 Distribution: one file = one parse unit (``spark.read.text(wholetext)`` +
 ``mapInPandas``) — multi-line statements never straddle a split, and a
@@ -77,6 +79,9 @@ def _unquote(tok: str) -> str:
     return re.sub(r"\\([ntr\"'\\])", lambda m: _ESC[m.group(1)], s)
 
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
 def parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
     """Turtle document -> [(subj, pred, obj, o_is_entity)] with reference
     lexical normalization."""
@@ -85,6 +90,17 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
     out: list[tuple[str, str, str, bool]] = []
     toks = list(_tokens(text))
     i = 0
+
+    # fresh-bnode prefix that cannot collide with document labels
+    doc_labels = {tok for k, tok in toks if k == "blank"}
+    bn_prefix = "_:b"
+    while any(l.startswith(bn_prefix) for l in doc_labels):
+        bn_prefix += "b"
+    bn_counter = [0]
+
+    def fresh_bnode() -> str:
+        bn_counter[0] += 1
+        return f"{bn_prefix}{bn_counter[0]}"
 
     def expand(kind: str, tok: str) -> str:
         if kind == "iri":
@@ -125,12 +141,62 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
         if kind == "kw" and tok in ("true", "false"):
             return f'"{tok}"^^<{XSD}boolean>', False, j + 1
         if kind == "kw" and tok == "a":
-            return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>", True, j + 1
-        if kind == "punct" and tok in "[(":
-            raise TurtleError(
-                "anonymous blank nodes / collections are outside the supported subset"
-            )
+            return f"<{RDF_NS}type>", True, j + 1
+        if kind == "punct" and tok == "[":
+            # anonymous blank node, possibly with a nested property list:
+            # [ p1 o1 ; p2 o2 ] -> fresh _:b with those statements
+            b = fresh_bnode()
+            j += 1
+            if j < len(toks) and toks[j] == ("punct", "]"):
+                return b, True, j + 1
+            j = po_list(b, j, stop="]")
+            if j >= len(toks) or toks[j] != ("punct", "]"):
+                raise TurtleError("unterminated '[' property list")
+            return b, True, j + 1
+        if kind == "punct" and tok == "(":
+            # RDF collection -> rdf:first/rdf:rest chain ending in rdf:nil
+            j += 1
+            items: list[tuple[str, bool]] = []
+            while j < len(toks) and toks[j] != ("punct", ")"):
+                it, ent, j = term(j)
+                items.append((it, ent))
+            if j >= len(toks):
+                raise TurtleError("unterminated '(' collection")
+            j += 1
+            if not items:
+                return f"<{RDF_NS}nil>", True, j
+            head = fresh_bnode()
+            cur = head
+            for k, (it, ent) in enumerate(items):
+                out.append((cur, f"<{RDF_NS}first>", it, ent))
+                nxt = fresh_bnode() if k + 1 < len(items) else f"<{RDF_NS}nil>"
+                out.append((cur, f"<{RDF_NS}rest>", nxt, True))
+                cur = nxt
+            return head, True, j
         raise TurtleError(f"bad term {tok!r}")
+
+    def po_list(subj: str, j: int, stop: str = ".") -> int:
+        """predicate-object list for ``subj`` starting at token j; returns
+        the index of the terminating token ('.' / ']' left unconsumed)."""
+        while True:
+            pred, p_ent, j = term(j)
+            if not p_ent:
+                raise TurtleError(f"literal predicate {pred!r}")
+            while True:  # object list
+                obj, o_ent, j = term(j)
+                out.append((subj, pred, obj, o_ent))
+                if j < len(toks) and toks[j] == ("punct", ","):
+                    j += 1
+                    continue
+                break
+            if j < len(toks) and toks[j] == ("punct", ";"):
+                j += 1
+                # trailing ';' before the terminator is legal Turtle
+                if j < len(toks) and toks[j] == ("punct", stop):
+                    break
+                continue
+            break
+        return j
 
     while i < len(toks):
         kind, tok = toks[i]
@@ -152,27 +218,14 @@ def parse_turtle(text: str) -> list[tuple[str, str, str, bool]]:
             if i < len(toks) and toks[i] == ("punct", "."):
                 i += 1
             continue
+        was_bracket = toks[i] == ("punct", "[")
         subj, s_ent, i = term(i)
         if not s_ent:
             raise TurtleError(f"literal subject {subj!r}")
-        while True:  # predicate-object list
-            pred, p_ent, i = term(i)
-            if not p_ent:
-                raise TurtleError(f"literal predicate {pred!r}")
-            while True:  # object list
-                obj, o_ent, i = term(i)
-                out.append((subj, pred, obj, o_ent))
-                if i < len(toks) and toks[i] == ("punct", ","):
-                    i += 1
-                    continue
-                break
-            if i < len(toks) and toks[i] == ("punct", ";"):
-                i += 1
-                # trailing ';' before '.' is legal Turtle
-                if i < len(toks) and toks[i] == ("punct", "."):
-                    break
-                continue
-            break
+        # '[ p o ] .' is a complete statement: a bracket subject's
+        # predicate-object list is optional (Turtle triples production)
+        if not (was_bracket and i < len(toks) and toks[i] == ("punct", ".")):
+            i = po_list(subj, i)
         if i >= len(toks) or toks[i] != ("punct", "."):
             raise TurtleError(f"expected '.' after statement near {toks[i-1][1]!r}")
         i += 1

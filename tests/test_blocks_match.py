@@ -31,6 +31,9 @@ def toy_artifact(spark, tmp_path_factory):
         rows.append((f"<ent:a{i}>", "<p:knows>", f"<ent:a{(i + 1) % 12}>", True))
     rows.append(("<ent:special>", "<p:rare>", "<ent:a0>", True))
     rows.append(("<ent:special>", "<p:knows>", "<ent:a3>", True))
+    # a predicate IRI that is also a subject (legal RDF): exercises the
+    # mixed-position-var decode fallback
+    rows.append(("<p:knows>", "<p:knows>", "<ent:a0>", True))
     triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
     id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
@@ -76,30 +79,103 @@ def test_blocks_triple_reconstitution_exact(spark, toy_artifact):
 
 
 def test_partition_pruning_strict_subset(spark, toy_artifact):
-    """The ?x candidate scan (rare predicate) must plan a part IN (...)
-    partition filter over a strict subset of the part= directories, and
-    pruning must be sound (every partition holding a true binding kept)."""
+    """The ?x candidate scan (rare predicate) must plan a (part, bucket)
+    partition filter over a strict subset of the part=/bucket= directories,
+    and pruning must be sound (every group holding a true binding kept)."""
+    from gstored_spark.kg.match import pruned_buckets
+
     triples, art = toy_artifact
     pred_ids = {r["term"]: r["id"] for r in art.pred_dict.collect()}
     qsigs = query_var_signatures(PATS, pred_ids)
     keep = {r["part"] for r in pruned_partitions(art.part_sig, qsigs["x"]).collect()}
     all_parts = {r["part"] for r in art.part_sig.select("part").collect()}
     assert keep < all_parts, f"no pruning happened: keep={keep} all={all_parts}"
+    kept_pairs = {
+        (r["part"], r["bucket"])
+        for r in pruned_buckets(art.bucket_sig, qsigs["x"]).collect()
+    }
+    all_pairs = {
+        (r["part"], r["bucket"])
+        for r in art.bucket_sig.select("part", "bucket").collect()
+    }
+    assert kept_pairs < all_pairs
+    assert {p for p, _ in kept_pairs} <= keep  # bucket OR ⊆ partition OR
 
     terms, scan = candidate_terms_pruned(art, qsigs["x"])
     # formatted explain carries the full (untruncated) FileScan metadata:
-    # the part IN (...) list must be exactly the kept partitions
+    # both partition columns must appear in the scan's PartitionFilters
     jqe = scan._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = jqe.explainString(mode)
     import re
 
-    m = re.search(r"PartitionFilters: \[part#\d+ IN \(([0-9,]+)\)\]", plan)
+    m = re.search(r"PartitionFilters: \[(.+)\]", plan)
     assert m, f"no partition filter in plan:\n{plan[:2000]}"
-    assert {int(x) for x in m.group(1).split(",")} == keep
+    assert "part#" in m.group(1) and "bucket#" in m.group(1)
+    # the scan must actually read only the kept (part, bucket) groups
+    scanned = {(r["part"], r["bucket"]) for r in scan.select("part", "bucket").collect()}
+    assert scanned <= kept_pairs
     # soundness: every true ?x binding is a candidate
     got = {r["term"] for r in terms.collect()}
     assert "<ent:special>" in got
+
+
+def test_bucket_pruning_when_root_saturated(spark, tmp_path_factory):
+    """VS*-tree inner level: every partition's root OR-signature covers the
+    rare-predicate query bit (one rare-edge vertex per partition -> root
+    pruning degenerates to keep-everything), yet the bucket level still
+    skips most bucket groups (VSTree.cpp:146-219 parent-OR, one level
+    down)."""
+    from gstored_spark.kg.match import pruned_buckets
+
+    rows = []
+    for i in range(48):
+        rows.append((f"<ent:v{i}>", "<p:knows>", f"<ent:v{(i + 1) % 48}>", True))
+    for i in range(0, 48, 3):  # rare-edge vertices spread over all partitions
+        rows.append((f"<ent:v{i}>", "<p:rare>", f"<ent:v{(i + 5) % 48}>", True))
+    triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
+    entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+    id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+    routed = P.route_triples(id_triples, N_PARTS)
+    internal = P.internal_vertices(routed, N_PARTS)
+    adj = B.adjacency(routed, internal)
+    sigs = B.vertex_signatures(triples, pred_dict, entity_dict)
+    part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
+    res = PipelineResult(
+        triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,
+        pred_dict=pred_dict, id_triples=id_triples, routed=routed,
+        internal=internal, adjacency=adj, signatures=sigs, part_sig=part_sig,
+    )
+    out = str(tmp_path_factory.mktemp("saturated"))
+    B.write_artifact(res, out)
+    art = B.GraphArtifact(spark, out)
+
+    pats = [
+        TriplePattern("?x", "<p:rare>", "?y"),
+        TriplePattern("?x", "<p:knows>", "?z"),
+    ]
+    pred_ids = {r["term"]: r["id"] for r in art.pred_dict.collect()}
+    qsigs = query_var_signatures(pats, pred_ids)
+    keep = {r["part"] for r in pruned_partitions(art.part_sig, qsigs["x"]).collect()}
+    all_parts = {r["part"] for r in art.part_sig.select("part").collect()}
+    if keep != all_parts:
+        pytest.skip("root level not saturated in this hash layout")
+    kept_pairs = {
+        (r["part"], r["bucket"])
+        for r in pruned_buckets(art.bucket_sig, qsigs["x"]).collect()
+    }
+    all_pairs = {
+        (r["part"], r["bucket"])
+        for r in art.bucket_sig.select("part", "bucket").collect()
+    }
+    assert kept_pairs < all_pairs, "bucket level pruned nothing"
+    # and the query still answers correctly from the store
+    flat = {tuple(r) for r in match_bgp(triples, pats, ["?x", "?y", "?z"]).collect()}
+    blocks = {
+        tuple(r)
+        for r in match_over_blocks(art, pats, ["?x", "?y", "?z"], min_degree=1).collect()
+    }
+    assert blocks == flat and len(flat) > 0
 
 def test_blocks_match_id_mode_equals_string_mode(spark, toy_artifact):
     """decode='ids' (constants encoded, matching on long columns, results
@@ -107,12 +183,85 @@ def test_blocks_match_id_mode_equals_string_mode(spark, toy_artifact):
     identical bindings to decode='triples'."""
     triples, art = toy_artifact
     a = {tuple(r) for r in
-         match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1).collect()}
+         match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1,
+                           decode="triples").collect()}
     b = {tuple(r) for r in
          match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1,
                            decode="ids").collect()}
-    assert a == b and len(a) > 0
+    auto = {tuple(r) for r in
+            match_over_blocks(art, PATS, ["?x", "?y", "?z"], min_degree=1).collect()}
+    assert a == b == auto and len(a) > 0
     # unknown constant -> empty result, not an error (dictionary-miss
     # semantics of the reference)
     ghost = [TriplePattern("?x", "<p:rare>", "<ent:nosuch>")]
     assert match_over_blocks(art, ghost, ["?x"], min_degree=1, decode="ids").count() == 0
+
+
+def test_mixed_position_var_falls_back_to_string_mode(spark, toy_artifact):
+    """A var in BOTH the predicate and a subject/object position cannot be
+    id-decoded (predicate ids overlap entity ids); decode='auto'/'ids' must
+    fall back to the string-level path and still answer correctly."""
+    triples, art = toy_artifact
+    pats = [
+        TriplePattern("?x", "?e", "?y"),
+        TriplePattern("?e", "<p:knows>", "?z"),
+    ]
+    flat = {tuple(r) for r in match_bgp(triples, pats, ["?x", "?e", "?z"]).collect()}
+    for mode in ("auto", "ids", "triples"):
+        got = {tuple(r) for r in match_over_blocks(
+            art, pats, ["?x", "?e", "?z"], min_degree=1, decode=mode).collect()}
+        assert got == flat, mode
+    assert len(flat) > 0
+
+
+def test_satellite_predicate_prefilter(spark, toy_artifact):
+    """F4 (Join::filterBySatellites, Join.cpp:2419-2700): a degree-1
+    subject var with a constant predicate gets its candidates from the
+    per-vertex out-predicate sets; the filter is sound (results unchanged)
+    and strict (fewer candidates than subjects)."""
+    from gstored_spark.kg.blocks import vertex_predicate_sets
+
+    triples, art = toy_artifact
+    pats = [TriplePattern("?x", "<p:rare>", "?y")]  # degree-1 ?x
+    flat = {tuple(r) for r in match_bgp(triples, pats, ["?x", "?y"]).collect()}
+    got = {tuple(r) for r in
+           match_over_blocks(art, pats, ["?x", "?y"]).collect()}
+    assert got == flat == {("<ent:special>", "<ent:a0>")}
+    # strictness: the predicate-set filter admits only vertices carrying
+    # the rare out-predicate
+    pred_ids = {r["term"]: r["id"] for r in art.pred_dict.collect()}
+    psets = vertex_predicate_sets(art.adjacency.filter("is_internal"))
+    n_cand = psets.filter(
+        F.array_contains("out_preds", pred_ids["<p:rare>"])
+    ).select("v").distinct().count()
+    n_subjects = psets.filter(F.size("out_preds") > 0).select("v").distinct().count()
+    assert n_cand == 1 < n_subjects
+
+
+def test_match_partitioned_assembly_parity(spark, toy_artifact):
+    """PE-and-assembly (match_partitioned) must equal the store matcher on
+    both lifecycle shapes: the star short-circuit (all patterns share the
+    subject var — complete local matches, no assembly,
+    Database.cpp:661-671) and the general chain (local partial matches +
+    cross-partition dedupe + greedy-ordered hash joins,
+    Util.cpp:1777-1858)."""
+    from gstored_spark.kg.match import match_partitioned
+    from gstored_spark.plans.bgp import is_star
+
+    triples, art = toy_artifact
+    # PATS is a star: both patterns share subject ?x
+    assert is_star(PATS)
+    flat = {tuple(r) for r in match_bgp(triples, PATS, ["?x", "?y", "?z"]).collect()}
+    got = {tuple(r) for r in
+           match_partitioned(art, PATS, ["?x", "?y", "?z"]).collect()}
+    assert got == flat and len(flat) > 0
+    # general (chain) shape: crossing edges force real assembly
+    chain = [
+        TriplePattern("?x", "<p:knows>", "?y"),
+        TriplePattern("?y", "<p:knows>", "?z"),
+    ]
+    flat = {tuple(r) for r in match_bgp(triples, chain, ["?x", "?y", "?z"]).collect()}
+    got = {tuple(r) for r in
+           match_partitioned(art, chain, ["?x", "?y", "?z"]).collect()}
+    # 12 cycle steps + special->a3->a4 + <p:knows>->a0->a1
+    assert got == flat and len(flat) == 14

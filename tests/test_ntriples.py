@@ -73,3 +73,41 @@ def test_read_turtle_prefixes_and_lists(spark, tmp_path):
     assert ("<http://dbpedia.org/ontology/W>", "<http://dbpedia.org/ontology/spouse>",
             "_:b1", True) in got
     assert ("_:b1", "<http://xmlns.com/foaf/0.1/name>", '"esc"aped"', False) in got
+
+
+def test_turtle_anonymous_blanks_and_collections():
+    """[...] desugars to fresh _: labels with nested property lists;
+    (...) desugars to rdf:first/rdf:rest chains ending in rdf:nil
+    (Parser/TurtleParser.cpp blankNodePropertyList / collection) — checked
+    against hand-derived triples for a nested-bracket document."""
+    from gstored_spark.sources.turtle import parse_turtle
+
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:a ex:knows [ ex:name "Anon" ; ex:knows [ ex:name "Deep" ] ] .
+    [ ex:label "subjectless" ] .
+    ex:a ex:list ( ex:x "2"^^<http://www.w3.org/2001/XMLSchema#int> ) .
+    ex:a ex:empty () .
+    """
+    EX = "http://ex.org/"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    got = set(parse_turtle(doc))
+    assert got == {
+        ("_:b1", f"<{EX}name>", '"Anon"', False),
+        ("_:b2", f"<{EX}name>", '"Deep"', False),
+        ("_:b1", f"<{EX}knows>", "_:b2", True),
+        (f"<{EX}a>", f"<{EX}knows>", "_:b1", True),
+        ("_:b3", f"<{EX}label>", '"subjectless"', False),
+        ("_:b4", f"<{RDF}first>", f"<{EX}x>", True),
+        ("_:b4", f"<{RDF}rest>", "_:b5", True),
+        ("_:b5", f"<{RDF}first>",
+         '"2"^^<http://www.w3.org/2001/XMLSchema#int>', False),
+        ("_:b5", f"<{RDF}rest>", f"<{RDF}nil>", True),
+        (f"<{EX}a>", f"<{EX}list>", "_:b4", True),
+        (f"<{EX}a>", f"<{EX}empty>", f"<{RDF}nil>", True),
+    }
+    # generated labels avoid collision with document labels
+    doc2 = "@prefix ex: <http://ex.org/> .\n_:b1 ex:p [ ex:q _:b1 ] ."
+    rows = set(parse_turtle(doc2))
+    anon = {s for s, _, _, _ in rows if s.startswith("_:bb")}
+    assert len(anon) == 1  # fresh label took the non-colliding _:bb prefix

@@ -227,6 +227,101 @@ def test_update_text_forms(spark):
         parse_update("INSERT DATA { ?x <p:knows> <e:b> . }")  # non-ground
 
 
+def test_modify_text_form(spark):
+    """MODIFY (DELETE {...} INSERT {...} WHERE {...}) — the reference's
+    most common read-write statement (dispatch Database.cpp:619-635,
+    materialization GeneralEvaluation.cpp:3008-3065)."""
+    from gstored_spark.plans.sparql import parse_update, run_update
+
+    triples = spark.createDataFrame(
+        [("<e:a>", "<p:knows>", "<e:b>", True),
+         ("<e:b>", "<p:knows>", "<e:c>", True),
+         ("<e:a>", "<p:name>", '"al"@en', False)],
+        ["subj", "pred", "obj", "o_is_entity"],
+    )
+    u = parse_update(
+        "DELETE { ?x <p:knows> ?y } INSERT { ?y <p:known_by> ?x } "
+        "WHERE { ?x <p:knows> ?y }"
+    )
+    assert u.form == "modify"
+    assert len(u.delete_templates) == 1 and len(u.insert_templates) == 1
+    out = run_update(
+        triples,
+        "DELETE { ?x <p:knows> ?y } INSERT { ?y <p:known_by> ?x } "
+        "WHERE { ?x <p:knows> ?y }",
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert got == {
+        ("<e:b>", "<p:known_by>", "<e:a>"),
+        ("<e:c>", "<p:known_by>", "<e:b>"),
+        ("<e:a>", "<p:name>", '"al"@en'),
+    }
+    # INSERT-only form (no delete clause)
+    out = run_update(
+        triples, "INSERT { ?x <p:linked> ?y } WHERE { ?x <p:knows> ?y }"
+    )
+    assert out.count() == 5
+    # DELETE-only form with a filtered WHERE
+    out = run_update(
+        triples,
+        "DELETE { ?x <p:knows> ?y } WHERE { ?x <p:knows> ?y . "
+        "FILTER (?y = <e:c>) }",
+    )
+    assert out.count() == 2
+    # template groups must be plain triples
+    with pytest.raises(ValueError):
+        parse_update(
+            "DELETE { ?x <p:knows> ?y . FILTER (?x = ?y) } WHERE { ?x <p:knows> ?y }"
+        )
+
+
+def test_predicate_object_lists(spark):
+    """';' and ',' lists in group patterns desugar to triples sharing the
+    subject / the (subject, predicate) — the Turtle loop shape."""
+    triples = spark.createDataFrame(
+        [("<e:a>", "<p:knows>", "<e:b>"),
+         ("<e:a>", "<p:name>", '"al"'),
+         ("<e:b>", "<p:name>", '"bee"')],
+        ["subj", "pred", "obj"],
+    )
+    got = {tuple(r) for r in run_sparql(
+        triples,
+        'SELECT ?x ?n WHERE { ?x <p:knows> ?y ; <p:name> ?n . }',
+    ).collect()}
+    assert got == {("<e:a>", '"al"')}
+    # object list: ?x knows <e:b>, <e:c> -> both edges required
+    q = parse_sparql("SELECT ?x WHERE { ?x <p:knows> <e:b> , <e:c> . }")
+    assert len(q.group.patterns) == 2
+    assert {p.o for p in q.group.patterns} == {"<e:b>", "<e:c>"}
+
+
+def test_order_by_non_projected_and_unbound_projection(spark):
+    triples = spark.createDataFrame(
+        [("<e:a>", "<p:age>", '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+         ("<e:b>", "<p:age>", '"1"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+         ("<e:c>", "<p:age>", '"2"^^<http://www.w3.org/2001/XMLSchema#integer>')],
+        ["subj", "pred", "obj"],
+    )
+    # ORDER BY a var that is not projected
+    rows = run_sparql(
+        triples, "SELECT ?x WHERE { ?x <p:age> ?a } ORDER BY ?a"
+    ).collect()
+    assert [r["x"] for r in rows] == ["<e:b>", "<e:c>", "<e:a>"]
+    # projecting a var bound nowhere yields NULL, not an AnalysisException
+    rows = run_sparql(triples, "SELECT ?x ?ghost WHERE { ?x <p:age> ?a }").collect()
+    assert len(rows) == 3 and all(r["ghost"] is None for r in rows)
+
+
+def test_num_term_exponent_is_double():
+    """Query constants with exponents must match Turtle-normalized data:
+    exponent -> xsd:double (sources/turtle.py), fraction -> xsd:decimal."""
+    from gstored_spark.plans.sparql import _Parser
+
+    assert _Parser.num_term("1e3") == '"1e3"^^<http://www.w3.org/2001/XMLSchema#double>'
+    assert _Parser.num_term("1.5") == '"1.5"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+    assert _Parser.num_term("-7") == '"-7"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+
 def test_filter_exists_text(spark):
     """FILTER EXISTS / NOT EXISTS text forms -> semi/anti joins on shared
     vars (GeneralEvaluation.cpp:2257-2286 nested-group existence)."""
