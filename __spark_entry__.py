@@ -261,7 +261,7 @@ def _graph_artifact(spark: SparkSession, sf: str) -> "object":
         routed = P.route_triples(id_triples, n_parts)
         internal = P.internal_vertices(routed, n_parts)
         adj = B.adjacency(routed, internal)
-        sigs = B.vertex_signatures(triples, pred_dict, entity_dict)
+        sigs = B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict)
         part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
         res = PipelineResult(
             triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,

@@ -84,7 +84,7 @@ def main():
     # n_parts is a property of the output graph layout, held constant across
     # parallelism levels so local[8] vs local[32] run the *same job*
     t0 = time.time()
-    res = run_pipeline(spark, docs, n_parts=16)
+    res = run_pipeline(spark, docs, n_parts=16, release_input=True)
     n_triples = res.id_triples.count()
     n_adj = res.adjacency.count()
     n_psig = res.part_sig.count()

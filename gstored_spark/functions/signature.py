@@ -113,6 +113,42 @@ def contribution_bits_udf(
     return pd.Series([row if v else row[3:] for row, v in zip(mat, valid)])
 
 
+@pandas_udf(ArrayType(IntegerType()))
+def term_str_bits_udf(term: pd.Series) -> pd.Series:
+    """The three neighbor-string bit positions ONE TERM contributes
+    (str_bits, Signature.cpp:112-155) — run once per distinct dictionary
+    term instead of once per triple occurrence; the per-occurrence work
+    then becomes a long-keyed join plus JVM arithmetic
+    (vertex_signatures_from_ids)."""
+    import numpy as np
+
+    from gstored_spark.functions.hashing import hash_family_batch
+
+    n = term.fillna("").to_numpy(dtype=object)
+    h = hash_family_batch(n)  # (3, B)
+    first = np.array([s[0] if s else "?" for s in n])
+    valid = first != "?"
+    off = np.where(first == '"', STR_SIG_LENGTH2, 0)
+    p0 = h[0] % STR_SIG_BASE + off
+    p1 = STR_SIG_BASE + h[1] % STR_SIG_BASE + off
+    p2 = 2 * STR_SIG_BASE + h[2] % STR_SIG_BASE + off
+    mat = np.column_stack([p0, p1, p2]).astype(np.int32).tolist()
+    return pd.Series([row if v else [] for row, v in zip(mat, valid)])
+
+
+def edge_bit_col(pid: Column, is_out: bool) -> Column:
+    """JVM twin of edge_bits (Signature.cpp:34-76 method 1): pure column
+    arithmetic on the predicate id — no Python in the per-triple path."""
+    interval = F.pmod(pid, F.lit(EDGE_SIG_INTERVAL_NUM_HALF)) + (
+        EDGE_SIG_INTERVAL_NUM_HALF if is_out else 0
+    )
+    return (
+        F.lit(STR_SIG_LENGTH)
+        + F.lit(EDGE_SIG_INTERVAL_BASE) * interval
+        + F.pmod(F.pmod(pid * 5003, F.lit(49957)), F.lit(EDGE_SIG_INTERVAL_BASE))
+    ).cast("int")
+
+
 def sig_words_from_bits(df, key_cols: list[str], bits_col: str = "bits"):
     """(keys..., bits array<int>) -> (keys..., sig array<long>[SIG_WORDS]).
 

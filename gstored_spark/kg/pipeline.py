@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from gstored_spark.kg import blocks as B
 from gstored_spark.kg import canon as C
@@ -52,6 +53,7 @@ def run_pipeline(
     partition_map: DataFrame | None = None,
     salt_threshold: int = 100_000,
     canon_checkpoint_dir: str | None = None,
+    release_input: bool = False,
 ) -> PipelineResult:
     def stage(name: str, df: DataFrame, part_col: str | None = None) -> DataFrame:
         if store is None:
@@ -62,8 +64,14 @@ def run_pipeline(
             # upstream tree. EAGER: lazy checkpoints let the final actions
             # interleave partially-materialized chains and re-derive shared
             # stages — measured 1.5x slower end-to-end at 10^6 docs than
-            # materializing each stage once, in order.
-            return df.localCheckpoint(eager=True)
+            # materializing each stage once, in order. SERIALIZED storage
+            # (+ spark.rdd.compress): checkpoint blocks compress several-
+            # fold, cutting the memory footprint and scan bandwidth that
+            # throttle a many-core executor — decompression spends CPU,
+            # which the measured pipeline has idle (~25% utilization).
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         return store.materialize(name, df, part_col)
 
     # extraction has a single consumer (SVO extraction) — no checkpoint
@@ -72,10 +80,19 @@ def run_pipeline(
     # full-corpus block store)
     docs = E.extracted(documents) if store is None else stage("extracted", E.extracted(documents))
     mentions = stage("mention_triples", Tr.mention_triples(docs))
+    if release_input and store is None:
+        # the corpus has exactly one consumer (the fused extract+SVO pass,
+        # just materialized) — release its cached blocks so they stop
+        # pressuring the block store for the rest of the run
+        documents.unpersist()
     triples = stage(
         "canonical_triples",
         C.canonical_triples_from_mentions(mentions, checkpoint_dir=canon_checkpoint_dir),
     )
+    if store is None:
+        # the mention stream is dead once the canonical triples exist;
+        # free its checkpoint blocks (largest intermediate of the run)
+        mentions.unpersist()
 
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
     entity_dict = stage("entity_dict", entity_dict)
@@ -104,7 +121,14 @@ def run_pipeline(
         return stage("adjacency", B.adjacency(salted, internal, salt_col="salt"), "part")
 
     def sig_chain():
-        sigs = stage("signatures", B.vertex_signatures(triples, pred_dict, entity_dict))
+        # id-based build: per-term hashing + long-keyed joins
+        # (vertex_signatures_from_ids; bit-identical to the string path,
+        # equivalence-tested) — the string path hashed every neighbor
+        # OCCURRENCE through Arrow and shuffled on term strings
+        sigs = stage(
+            "signatures",
+            B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict),
+        )
         part_sigs = B.partitioned_signatures(sigs, internal)
         return sigs, stage("part_sig", B.partition_signature(part_sigs), "part")
 

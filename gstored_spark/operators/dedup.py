@@ -81,6 +81,42 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_fast(
+    df: DataFrame, id_col: str, shingles_col: str = "shingles", k: int = 8
+) -> DataFrame:
+    """xxhash64-family MinHash: long-valued, whole-stage-codegen JVM path —
+    for internal pipelines (entity canonicalization) where DuckDB-oracle
+    hash parity is NOT required. Same banding statistics as the md5 family
+    (uniform independent hashes), an order of magnitude cheaper: no hex
+    strings materialized, min-aggregates run over longs."""
+    ex = df.select(F.col(id_col), F.explode(shingles_col).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys_fast(
+    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Long-valued band keys over minhash_signature_fast output."""
+    r = k // bands
+    outs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        outs.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.xxhash64(F.lit(b), *cols).alias("key"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def lsh_band_keys(
     sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
 ) -> DataFrame:

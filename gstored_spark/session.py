@@ -44,6 +44,10 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.adaptive.enabled", "true")
+        # serialized RDD blocks (stage checkpoints) are LZ4-compressed:
+        # trades idle CPU for memory capacity + bandwidth — the scarce
+        # resources for a many-core executor (and for local[N])
+        .config("spark.rdd.compress", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -34,6 +34,8 @@ def toy_artifact(spark, tmp_path_factory):
     # a predicate IRI that is also a subject (legal RDF): exercises the
     # mixed-position-var decode fallback
     rows.append(("<p:knows>", "<p:knows>", "<ent:a0>", True))
+    # a literal object: exercises the literal-offset signature bits
+    rows.append(("<ent:special>", "<p:name>", '"special one"@en', False))
     triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
     id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
@@ -176,6 +178,25 @@ def test_bucket_pruning_when_root_saturated(spark, tmp_path_factory):
         for r in match_over_blocks(art, pats, ["?x", "?y", "?z"], min_degree=1).collect()
     }
     assert blocks == flat and len(flat) > 0
+
+def test_vertex_signatures_from_ids_bit_identical(spark, toy_artifact):
+    """The id-based signature build (per-term hashing + long joins) must be
+    bit-identical to the per-occurrence string path it replaces."""
+    triples, art = toy_artifact
+    entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+    id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+    old = {
+        r["v"]: tuple(r["sig"])
+        for r in B.vertex_signatures(triples, pred_dict, entity_dict).collect()
+    }
+    new = {
+        r["v"]: tuple(r["sig"])
+        for r in B.vertex_signatures_from_ids(
+            id_triples, entity_dict, literal_dict
+        ).collect()
+    }
+    assert new == old and len(new) > 0
+
 
 def test_blocks_match_id_mode_equals_string_mode(spark, toy_artifact):
     """decode='ids' (constants encoded, matching on long columns, results

@@ -37,9 +37,13 @@ def main():
 
     times: dict[str, float] = {}
 
+    from pyspark.storagelevel import StorageLevel
+
     def stage(name, df):
         t0 = time.time()
-        out = df.localCheckpoint(eager=True)
+        # same storage policy as kg/pipeline.run_pipeline: serialized +
+        # spark.rdd.compress blocks
+        out = df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         times[name] = round(time.time() - t0, 2)
         print(f"{name:24s} {times[name]:8.2f}s", flush=True)
         return out
@@ -47,6 +51,8 @@ def main():
     t_all = time.time()
     extracted = stage("extract", E.extracted(docs))
     mentions = stage("mentions", Tr.mention_triples(extracted))
+    docs.unpersist()
+    extracted.unpersist()
 
     # canonicalization broken into sub-steps
     from gstored_spark.kg.link import alias_dictionary, link_surfaces, maybe_broadcast
@@ -90,6 +96,7 @@ def main():
         "apply_canon+distinct",
         t.select("subj", "pred", obj.alias("obj"), "o_is_entity", "url").distinct(),
     )
+    mentions.unpersist()
 
     t0 = time.time()
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
@@ -104,7 +111,7 @@ def main():
     hot = P.hot_subjects(routed, 100_000)
     salted = P.salted_shuffle_key(routed, hot)
     adj = stage("adjacency", B.adjacency(salted, internal, salt_col="salt"))
-    sigs = stage("signatures", B.vertex_signatures(triples, pred_dict, entity_dict))
+    sigs = stage("signatures", B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict))
     part_sigs = B.partitioned_signatures(sigs, internal)
     part_sig = stage("part_sig", B.partition_signature(part_sigs))
 

@@ -99,7 +99,7 @@ docs.count()  # corpus generation excluded from the timed window
 busy0, steal0 = host_busy()
 tree0 = tree_cpu()
 t0 = time.time()
-res = run_pipeline(spark, docs, n_parts=16)
+res = run_pipeline(spark, docs, n_parts=16, release_input=True)
 n = res.id_triples.count()
 a = res.adjacency.count()
 p = res.part_sig.count()
@@ -163,7 +163,25 @@ def best_of(cpus: int, n_docs: int, k: int, ext_frac: float) -> dict:
     return best
 
 
+def leg_main():
+    """Single-leg mode: ``python tools/scaling.py --leg <cpus> <docs>``.
+    Runs ONE measurement and appends it to BENCH/leg_runs.jsonl
+    immediately — resilient to the host's external-load bursts, which can
+    kill a full two-leg session after one leg already succeeded. Pairs are
+    then composed from clean legs of the same corpus size."""
+    cpus, n_docs = int(sys.argv[2]), int(sys.argv[3])
+    r = run(cpus, n_docs)
+    r["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "leg_runs.jsonl"), "a") as f:
+        f.write(json.dumps(r) + "\n")
+    print(json.dumps(r))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        leg_main()
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     k = int(os.environ.get("SCALE_REPEATS", "2"))
     ext_frac = float(os.environ.get("EXT_BUSY_FRAC", "0.10"))
