@@ -9,11 +9,13 @@ stats, multimodal). Every computed column is aliased identically in the
 Spark plan and the DuckDB SQL; float-accumulating aggregates are avoided or
 cast to exact integers so the value-hash comparison is stable.
 
-Rows-only entries (no oracle): ops not expressible in ANSI SQL the driver
-can run — signature bitmaps (bit-exact vs the reference formulas, tested in
-tests/test_signature.py), the minhash_dedup cluster assignment (its hash
-family and CC are separately oracled), the SRP-LSH ANN variant, and the
-full KG pipeline (P/R-gated in tests/test_triples_link_canon.py).
+Rows-only entries (no oracle): signature bitmaps (bit-exact vs the
+reference formulas, tested in tests/test_signature.py) and the SRP-LSH ANN
+variant (recall-gated vs brute force in tests) — genuinely outside ANSI
+SQL. Everything else is oracled, including the full minhash_dedup pipeline
+(recursive-CTE connected components) and the KG pipeline's P/R counts
+(deterministic by construction, pinned by a constant oracle; the
+threshold gate lives in tests/test_triples_link_canon.py).
 """
 
 from __future__ import annotations
@@ -236,14 +238,17 @@ def _q_bgp_star(spark, sf):
     return match_bgp(_graph_triples(spark, sf), pats, ["?c", "?o"])
 
 
-_ARTIFACT_CACHE: dict[str, str] = {}
+_ARTIFACT_CACHE: dict[str, object] = {}
 
 
 def _graph_artifact(spark: SparkSession, sf: str) -> "object":
     """Build (once per sf dir per process) and read back the emitted
     gStoreD-style store for the relational->graph view: dictionary-encoded,
     subject-routed with crossing-edge replication, adjacency blocks +
-    signature bitmaps, written as part=-partitioned parquet."""
+    predicate-first triples table + signature bitmaps, written as
+    partition-pruned parquet. The GraphArtifact HANDLE is cached so its
+    driver-side statistics caches (pred_dict, pred_stats) amortize across
+    queries, like a long-lived reference server process."""
     import hashlib
     import os
 
@@ -269,15 +274,16 @@ def _graph_artifact(spark: SparkSession, sf: str) -> "object":
             internal=internal, adjacency=adj, signatures=sigs, part_sig=part_sig,
         )
         B.write_artifact(res, out)
-        _ARTIFACT_CACHE[sf] = out
-    return B.GraphArtifact(spark, out)
+        _ARTIFACT_CACHE[sf] = B.GraphArtifact(spark, out)
+    return _ARTIFACT_CACHE[sf]
 
 
 def _q_bgp_blocks_triangle(spark, sf):
-    """The triangle BGP answered FROM THE EMITTED ARTIFACT: pattern views
-    reconstituted from explode(out) of the adjacency blocks, signature
-    candidates scanned with part=-directory pruning — hash-matches the
-    flat-view bgp_triangle oracle (same SQL)."""
+    """The triangle BGP answered FROM THE EMITTED ARTIFACT: each constant-
+    predicate pattern scans its pbucket= directory of the predicate-first
+    triples table (p2s/p2o analog) with the p filter pushed to parquet,
+    signature candidates scanned with (part, bucket) directory pruning —
+    hash-matches the flat-view bgp_triangle oracle (same SQL)."""
     from gstored_spark.kg.match import match_over_blocks
     from gstored_spark.plans.bgp import TriplePattern
 
@@ -307,6 +313,18 @@ def _q_bgp_assembly(spark, sf):
         TriplePattern("?s", "<in_nation>", "?n"),
     ]
     return match_partitioned(art, pats, ["?o", "?c", "?n", "?s"])
+
+
+def _q_bgp_ask_blocks(spark, sf):
+    """ASK answered from the emitted artifact (the gqueryD flagship path
+    ends in ASK, Main/gqueryD.cpp:108-265): signature pruning +
+    predicate-first routing + LIMIT-1 early termination, same existence
+    oracle as bgp_ask."""
+    from gstored_spark.kg.match import ask_over_blocks
+    from gstored_spark.plans.bgp import TriplePattern
+
+    art = _graph_artifact(spark, sf)
+    return ask_over_blocks(art, [TriplePattern("?o", "<placed_by>", "cust:1")])
 
 
 def _q_pred_var_join(spark, sf):
@@ -518,9 +536,13 @@ def _q_minhash_lsh(spark, sf):
 
 
 def _q_minhash_dedup(spark, sf):
-    """Full near-dup pipeline: capped LSH buckets (skew/boilerplate guard) +
-    Jaccard verify + connected components (rows-only: hash family tested via
-    minhash_lsh oracle, CC via groupcc oracle)."""
+    """Full near-dup pipeline END-TO-END: md5 MinHash(8) -> LSH(4 bands)
+    with the 64-doc bucket cap -> exact shingle-Jaccard verify (>= 0.5) ->
+    connected components with singletons. The md5 hash family keeps every
+    stage reproducible in ANSI SQL, so the ENTIRE pipeline (not just its
+    stages) hash-matches a DuckDB oracle: bands/cap/pairs as in
+    minhash_lsh, Jaccard via shingle joins, CC via a recursive min-reach
+    CTE as in groupcc."""
     from gstored_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf, "documents")
@@ -661,13 +683,29 @@ def _q_mm_bytes(spark, sf):
 
 
 def _q_kg_triples(spark, sf):
-    """Full KG pipeline on a 64-doc synthetic corpus (rows-only; P/R >= 0.95
-    gated in pytest). sf_dir unused: the corpus is generated in-process."""
+    """Full KG pipeline on a 64-doc synthetic corpus, scored against the
+    generator's own gold triples: one row (n_gold, n_pred, n_hit). The
+    pipeline is deterministic at any parallelism BY DESIGN (dense-ID
+    assignment by global sort order, deterministic linking/canonical-
+    ization), and the corpus is a pure function of the doc index — so the
+    three counts are fixed constants, pinned by a constant-SELECT oracle
+    (the P/R >= 0.95 gate itself lives in pytest). sf_dir unused: the
+    corpus is generated in-process."""
     from gstored_spark.kg.pipeline import triples_from_documents
-    from gstored_spark.sources.corpus import generate_documents
+    from gstored_spark.sources.corpus import generate_documents, generate_gold
 
     docs = generate_documents(spark, 64)
-    return triples_from_documents(spark, docs).select("subj", "pred", "obj", "o_is_entity")
+    pred = (
+        triples_from_documents(spark, docs)
+        .select("subj", "pred", "obj").distinct().localCheckpoint(eager=True)
+    )
+    gold = generate_gold(spark, 64).select("subj", "pred", "obj").distinct()
+    hit = pred.join(gold, ["subj", "pred", "obj"], "leftsemi")
+    return (
+        gold.agg(F.count(F.lit(1)).alias("n_gold"))
+        .crossJoin(pred.agg(F.count(F.lit(1)).alias("n_pred")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -692,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus": _q_bgp_minus,
         "bgp_filter": _q_bgp_filter,
         "bgp_ask": _q_bgp_ask,
+        "bgp_ask_blocks": _q_bgp_ask_blocks,
         "bgp_parsed": _q_bgp_parsed,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
@@ -852,6 +891,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT true AS ask WHERE EXISTS (
                 SELECT 1 FROM g WHERE pred = '<placed_by>' AND obj = 'cust:1')
         """,
+        "bgp_ask_blocks": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT true AS ask WHERE EXISTS (
+                SELECT 1 FROM g WHERE pred = '<placed_by>' AND obj = 'cust:1')
+        """,
         "bgp_parsed": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT DISTINCT t1.obj AS c, t2.obj AS n
@@ -983,6 +1027,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
             WHERE x.doc_id < y.doc_id
+        """,
+        "minhash_dedup": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                              i -> array_to_string(t[i:i+2], ' '))) AS sh
+                FROM base WHERE len(t) > 0
+            ),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('0|' || sh)) AS mh_0, min(md5('1|' || sh)) AS mh_1,
+                       min(md5('2|' || sh)) AS mh_2, min(md5('3|' || sh)) AS mh_3,
+                       min(md5('4|' || sh)) AS mh_4, min(md5('5|' || sh)) AS mh_5,
+                       min(md5('6|' || sh)) AS mh_6, min(md5('7|' || sh)) AS mh_7
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                SELECT doc_id, 0 AS band, md5('0' || '|' || mh_0 || '|' || mh_1) AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1, md5('1' || '|' || mh_2 || '|' || mh_3) FROM sig
+                UNION ALL
+                SELECT doc_id, 2, md5('2' || '|' || mh_4 || '|' || mh_5) FROM sig
+                UNION ALL
+                SELECT doc_id, 3, md5('3' || '|' || mh_6 || '|' || mh_7) FROM sig
+            ),
+            bsz AS (SELECT band, key, count(*) AS c FROM bands GROUP BY band, key),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x
+                JOIN bands y ON x.band = y.band AND x.key = y.key
+                JOIN bsz z ON z.band = x.band AND z.key = x.key
+                WHERE x.doc_id < y.doc_id AND z.c <= 64
+            ),
+            szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS n
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+                GROUP BY c.a, c.b
+            ),
+            edges AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN szs za ON za.doc_id = i.a JOIN szs zb ON zb.doc_id = i.b
+                WHERE i.n * 1.0 / (za.sz + zb.sz - i.n) >= 0.5
+            ),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            verts AS (SELECT doc_id AS v FROM documents),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v
+            )
+            SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
         """,
         "simhash": f"""
             WITH toks AS (
@@ -1196,6 +1297,18 @@ def oracle_sql() -> dict[str, str]:
             norms AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM raw GROUP BY doc_id)
             SELECT r.doc_id, i, round(v / nrm, 6) AS val
             FROM raw r JOIN norms n ON r.doc_id = n.doc_id
+        """,
+        "kg_triples": """
+            -- constant oracle: the 64-doc corpus is a pure function of the
+            -- doc index and the pipeline is deterministic at any
+            -- parallelism (dense IDs assigned by global sort order,
+            -- deterministic linking + canonicalization), so the P/R join
+            -- counts are fixed; the extractor recovers the gold triple set
+            -- exactly at this corpus size. Thresholded P/R gates live in
+            -- tests/test_triples_link_canon.py.
+            SELECT CAST(571 AS BIGINT) AS n_gold,
+                   CAST(571 AS BIGINT) AS n_pred,
+                   CAST(571 AS BIGINT) AS n_hit
         """,
         "mm_bytes": """
             SELECT doc_id AS media_id,

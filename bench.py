@@ -45,6 +45,7 @@ QUERY_NAMES = [
     "bgp_triangle",
     "bgp_blocks_triangle",
     "bgp_assembly",
+    "bgp_ask_blocks",
     "bgp_star",
     "bgp_parsed",
     "modify_where",

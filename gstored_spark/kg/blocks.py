@@ -163,6 +163,28 @@ def partition_signature(part_sigs: DataFrame) -> DataFrame:
 
 
 SIG_BUCKETS = 16
+SIG_BUCKET_TARGET_VERTICES = 1024  # vertices per (part, bucket) OR-group
+SIG_BUCKETS_MAX = 4096
+
+
+def adaptive_sig_buckets(
+    n_vertices: int,
+    n_parts: int,
+    target: int = SIG_BUCKET_TARGET_VERTICES,
+    lo: int = SIG_BUCKETS,
+    hi: int = SIG_BUCKETS_MAX,
+) -> int:
+    """Bucket count B scaled with per-partition vertex count — the VS*-tree
+    grows by node splits as vertices arrive (VSTree/VSTree.cpp:371-440), so
+    its fanout tracks the data; a constant B saturates every bucket OR at
+    100x the vertices exactly like the root did. B = next power of two
+    covering ``per_part / target``, clamped to [lo, hi]; power of two keeps
+    pmod cheap and directory counts predictable."""
+    per_part = max(n_vertices // max(n_parts, 1), 1)
+    b = lo
+    while b < hi and per_part > b * target:
+        b *= 2
+    return b
 
 
 def with_sig_buckets(part_sigs: DataFrame, buckets: int = SIG_BUCKETS) -> DataFrame:
@@ -200,21 +222,82 @@ def write_blocks(adj: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
 
 
 def predicate_stats(id_triples: DataFrame) -> DataFrame:
-    """p2num statistics (KVstore/KVstore.h:296-301 preID2num): per-predicate
-    triple counts, persisted with the artifact so the matcher's
-    cardinality-based join ordering (Join.cpp:71-77 score) works by default
-    without a planning-time pass over the store."""
+    """p2num statistics (KVstore/KVstore.h:296-301 preID2num) plus the
+    per-predicate distinct-endpoint counts that stand in for the reference's
+    subIDpreID2num/objIDpreID2num trees: ``n / n_s`` is the average
+    out-fanout of predicate p (what sp2o returns per subject on average),
+    ``n / n_o`` the in-fanout. Persisted with the artifact so the matcher's
+    cardinality-based join ordering (Join.cpp:71-77 score) estimates a
+    bound-endpoint probe from measured fanout instead of a flat constant."""
     return id_triples.groupBy(F.col("p").alias("pid")).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("s").alias("n_s"),
+        F.approx_count_distinct("o").alias("n_o"),
     )
 
 
-def write_artifact(result, out_dir: str, mode: str = "overwrite") -> None:
+PRED_BUCKETS = 32
+
+
+def predicate_bucketed_triples(id_triples: DataFrame, buckets: int = PRED_BUCKETS) -> DataFrame:
+    """The predicate-FIRST physical order (p2s/p2o/p2so analog,
+    KVstore/KVstore.h:265-293; dispatched by Strategy.cpp:272-362 for
+    ``?s <p> ?o`` shapes): id triples keyed by ``pbucket = pmod(p, K)``.
+    Written with partitionBy("pbucket") + sortWithinPartitions(p, s, o),
+    a constant-predicate pattern is answered by (a) pbucket directory
+    pruning, (b) the pushed-down ``p = const`` parquet filter over
+    row-groups whose min/max p stats are tight because of the sort — the
+    columnar twin of walking one predicate's B+-subtree, instead of
+    exploding the whole adjacency store."""
+    return id_triples.select("s", "p", "o", "o_is_entity").withColumn(
+        "pbucket", F.pmod(F.col("p"), F.lit(buckets)).cast("int")
+    )
+
+
+def write_artifact(
+    result,
+    out_dir: str,
+    mode: str = "overwrite",
+    hash_routed: bool = True,
+    pred_buckets: int = PRED_BUCKETS,
+    sig_bucket_target: int = SIG_BUCKET_TARGET_VERTICES,
+) -> None:
     """PipelineResult -> on-disk graph store:
-    adjacency/ (part=...), signatures/ (part=..., bucketed), part_sig/,
-    bucket_sig/, pred_stats/, entity_dict/ literal_dict/ pred_dict/."""
+    adjacency/ (part=...), triples_by_pred/ (pbucket=..., the p2s/p2o
+    predicate-first order), vertex_preds/ (persisted s2p/o2p sets),
+    signatures/ (part=/bucket=, bucket count adaptive in the vertex count),
+    part_sig/, bucket_sig/, pred_stats/, the three dictionaries, and meta/
+    (one JSON row: layout facts queries need — bucket counts and whether
+    routing was pure-hash, i.e. every vertex has an internal owner).
+
+    ``hash_routed=False`` records that a partial partition map routed the
+    build (gloadD.cpp:148-152: unmapped vertices broadcast everywhere,
+    internal NOWHERE) — matchers must then not rely on per-partition
+    internal flags for owner-unique semantics (see match_partitioned)."""
+    spark = result.adjacency.sparkSession
     result.adjacency.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")
-    part_sigs = with_sig_buckets(partitioned_signatures(result.signatures, result.internal))
+
+    # predicate-first access path: spread each pbucket over subject-hash
+    # tasks (a hot predicate must not serialize into one writer), sort so
+    # row-group (p, s) min/max stats are tight for the pushed filter
+    tp = predicate_bucketed_triples(result.id_triples, pred_buckets)
+    tp.repartition(F.col("pbucket"), F.col("s")).sortWithinPartitions(
+        "p", "s", "o"
+    ).write.mode(mode).partitionBy("pbucket").parquet(f"{out_dir}/triples_by_pred")
+
+    # persisted s2p/o2p (KVstore.h:265-293): the F4 satellite prefilter
+    # reads THIS small table instead of re-deriving predicate sets from the
+    # full adjacency store on every query
+    vertex_predicate_sets(result.adjacency.filter("is_internal")).select(
+        "v", "out_preds", "in_preds"
+    ).write.mode(mode).parquet(f"{out_dir}/vertex_preds")
+
+    part_sigs = partitioned_signatures(result.signatures, result.internal)
+    counts = result.internal.filter("is_internal").agg(
+        F.count(F.lit(1)).alias("nv"), F.countDistinct("part").alias("np")
+    ).collect()[0]
+    sig_buckets = adaptive_sig_buckets(counts["nv"], counts["np"], target=sig_bucket_target)
+    part_sigs = with_sig_buckets(part_sigs, sig_buckets)
     # (part, bucket) are both partition directories: the matcher's
     # disjunctive (part, bucket) filter prunes at file level on both
     part_sigs.write.mode(mode).partitionBy("part", "bucket").parquet(
@@ -226,13 +309,20 @@ def write_artifact(result, out_dir: str, mode: str = "overwrite") -> None:
     result.entity_dict.write.mode(mode).parquet(f"{out_dir}/entity_dict")
     result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
     result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
+    spark.createDataFrame(
+        [(2, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
+        "format int, sig_buckets int, pred_buckets int, hash_routed boolean,"
+        " n_vertices long, n_parts int",
+    ).coalesce(1).write.mode(mode).json(f"{out_dir}/meta")
 
 
 class GraphArtifact:
     """Lazy reader over the emitted store (the query engine's view).
-    ``bucket_sig`` / ``pred_stats`` are None for artifacts written before
-    those tables existed (readers degrade to partition-only pruning and
-    constants-first ordering)."""
+    Optional tables (``bucket_sig`` / ``pred_stats`` / ``triples_by_pred`` /
+    ``vertex_preds``) are None for artifacts written before they existed —
+    readers degrade to partition-only pruning, constants-first ordering,
+    adjacency-explode reconstitution, and per-query predicate-set
+    derivation respectively."""
 
     def __init__(self, spark, art_dir: str):
         self.dir = art_dir
@@ -244,6 +334,22 @@ class GraphArtifact:
         self.pred_dict = spark.read.parquet(f"{art_dir}/pred_dict")
         self.bucket_sig = self._opt(spark, f"{art_dir}/bucket_sig")
         self.pred_stats = self._opt(spark, f"{art_dir}/pred_stats")
+        self.triples_by_pred = self._opt(spark, f"{art_dir}/triples_by_pred")
+        self.vertex_preds = self._opt(spark, f"{art_dir}/vertex_preds")
+        self.meta = self._meta(spark, f"{art_dir}/meta")
+        # match.py attaches driver-side statistics caches to this handle
+        # lazily (_cached_pred_ids / _cached_pred_stats): collected once,
+        # reused across queries like a long-lived server's catalog
+
+    @property
+    def hash_routed(self) -> bool:
+        """True unless meta says a (possibly partial) partition map routed
+        the build. Pre-meta artifacts were all written by hash routing."""
+        return self.meta.get("hash_routed", True)
+
+    @property
+    def pred_buckets(self) -> int:
+        return self.meta.get("pred_buckets", PRED_BUCKETS)
 
     @staticmethod
     def _opt(spark, path):
@@ -253,6 +359,16 @@ class GraphArtifact:
             return spark.read.parquet(path)
         except AnalysisException:  # table absent in older artifacts
             return None
+
+    @staticmethod
+    def _meta(spark, path) -> dict:
+        from pyspark.errors import AnalysisException
+
+        try:
+            rows = spark.read.json(path).collect()
+            return rows[0].asDict() if rows else {}
+        except AnalysisException:
+            return {}
 
 
 def triples_from_adjacency(adj: DataFrame) -> DataFrame:

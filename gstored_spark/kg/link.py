@@ -26,14 +26,48 @@ from gstored_spark.operators.dedup import char_shingles
 from gstored_spark.sources.corpus import PRED_NAME
 
 
-def maybe_broadcast(df: DataFrame, limit_rows: int = 5_000_000) -> DataFrame:
-    """Broadcast hint iff the side is small. The probe is a *bounded*
-    limit-count — CollectLimit stops scanning once limit_rows+1 rows are
-    seen, so at web scale the probe short-circuits after a partition or two
-    instead of paying a full pass; on checkpointed small sides it is one
-    cheap job over in-memory blocks."""
+def maybe_broadcast(
+    df: DataFrame,
+    limit_bytes: int = 64 << 20,
+    limit_rows: int = 5_000_000,
+    sample_rows: int = 256,
+) -> DataFrame:
+    """Broadcast hint iff the side is small IN BYTES, not just rows.
+
+    The explicit F.broadcast hint BYPASSES Spark's own 64 MB
+    autoBroadcastJoinThreshold (session.py), so this probe must enforce an
+    equivalent bound itself: 5M short alias rows broadcast fine, 5M
+    long-document rows are hundreds of MB and must shuffle-join instead.
+
+    Probe shape (bounded at any scale): a limit-count — CollectLimit stops
+    scanning once limit_rows+1 rows are seen, so at web scale it
+    short-circuits after a partition or two — then a ``sample_rows``
+    driver-side sample to estimate average serialized row width;
+    estimated total = rows x avg width against ``limit_bytes``."""
     probe = df.limit(limit_rows + 1).count()
-    return F.broadcast(df) if probe <= limit_rows else df
+    if probe > limit_rows:
+        return df
+    if probe == 0:
+        return F.broadcast(df)
+    sample = df.limit(sample_rows).collect()
+
+    def row_bytes(row) -> int:
+        total = 16  # per-row object overhead
+        for v in row:
+            if v is None:
+                continue
+            if isinstance(v, str):
+                total += 8 + 2 * len(v)  # JVM UTF-16-ish resident width
+            elif isinstance(v, (bytes, bytearray)):
+                total += 8 + len(v)
+            elif isinstance(v, (list, tuple)):
+                total += 16 + 8 * len(v)
+            else:
+                total += 8
+        return total
+
+    est = probe * (sum(row_bytes(r) for r in sample) / len(sample))
+    return F.broadcast(df) if est <= limit_bytes else df
 
 
 def light_norm(col) -> "F.Column":

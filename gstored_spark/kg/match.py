@@ -110,39 +110,93 @@ def pruned_buckets(bucket_sig: DataFrame, qsig: list[int]) -> DataFrame:
     return bucket_sig.filter(covers(F.col("sig"), lit)).select("part", "bucket")
 
 
+def prune_groups(
+    artifact, qsigs: dict[str, list[int]]
+) -> tuple[str, dict[str, dict[int, list[int]]]]:
+    """Hierarchical signature-tree pruning for ALL query vars in ONE job
+    (round-3 ran one driver round-trip per var — at high parallelism the
+    per-job coordination dominated the actual filter work).
+
+    Returns ("bucket", var -> {part: [buckets]}) when the inner level
+    exists, else ("part", var -> {part: None}). The query signatures ride
+    along as a broadcast literal relation; the (tiny) surviving group list
+    is all that returns to the driver."""
+    spark = artifact.part_sig.sparkSession
+    qdf = spark.createDataFrame(
+        [(v, [int(w) for w in s]) for v, s in qsigs.items()],
+        "var string, qsig array<long>",
+    )
+    use_bucket = artifact.bucket_sig is not None and "bucket" in artifact.signatures.columns
+    tree = artifact.bucket_sig if use_bucket else artifact.part_sig
+    hits = (
+        tree.crossJoin(F.broadcast(qdf))
+        .filter(covers(F.col("sig"), F.col("qsig")))
+        .select("var", "part", *(["bucket"] if use_bucket else []))
+        .collect()
+    )
+    groups: dict[str, dict[int, list[int]]] = {v: {} for v in qsigs}
+    for r in hits:
+        if use_bucket:
+            groups[r["var"]].setdefault(r["part"], []).append(r["bucket"])
+        else:
+            groups[r["var"]][r["part"]] = None
+    return ("bucket" if use_bucket else "part"), groups
+
+
+def _pruned_scan(artifact, level: str, by_part: dict[int, list[int]]) -> DataFrame:
+    """The signature scan restricted to surviving (part[, bucket]) groups —
+    both partition columns of the signatures table, so the disjunctive
+    filter prunes whole `part=.../bucket=...` directories before any IO
+    (the VS*-tree BFS skip, VSTree/VSTree.cpp:1482-1589, re-expressed as
+    datasource partition pruning)."""
+    if level == "bucket":
+        cond = F.lit(False)
+        for pt in sorted(by_part):
+            cond = cond | ((F.col("part") == pt) & F.col("bucket").isin(by_part[pt]))
+        return artifact.signatures.filter(cond)
+    return artifact.signatures.filter(F.col("part").isin(sorted(by_part)))
+
+
 def candidate_terms_pruned(
     artifact, qsig: list[int]
 ) -> tuple[DataFrame, DataFrame]:
-    """Candidate IRIs from the on-disk artifact with HIERARCHICAL PRUNING:
-    (part, bucket) groups whose OR-signature does not cover the query
-    signature are never scanned — both are parquet partition columns of the
-    signatures table, so the disjunctive filter prunes whole
-    `part=.../bucket=...` directories before any IO (the VS*-tree BFS skip,
-    VSTree/VSTree.cpp:1482-1589, re-expressed as datasource partition
-    pruning; bucket level present for artifacts written with bucket_sig,
-    else the root/partition level alone prunes).
-
-    Returns (candidate term DF, the pruned signature scan DF — exposed so
-    tests can assert the file-level subset)."""
+    """Single-var convenience over prune_groups/_pruned_scan (kept for
+    tests and callers that prefilter one var). Returns (candidate term DF,
+    the pruned signature scan DF — exposed so tests can assert the
+    file-level subset)."""
+    level, groups = prune_groups(artifact, {"_v": qsig})
+    scan = _pruned_scan(artifact, level, groups["_v"])
     lit = F.array(*[F.lit(w).cast("long") for w in qsig])
-    if artifact.bucket_sig is not None and "bucket" in artifact.signatures.columns:
-        by_part: dict[int, list[int]] = {}
-        for r in pruned_buckets(artifact.bucket_sig, qsig).collect():
-            by_part.setdefault(r["part"], []).append(r["bucket"])
-        cond = F.lit(False)
-        for pt in sorted(by_part):
-            cond = cond | (
-                (F.col("part") == pt) & F.col("bucket").isin(by_part[pt])
-            )
-        scan = artifact.signatures.filter(cond)
-    else:
-        keep = [r["part"] for r in pruned_partitions(artifact.part_sig, qsig).collect()]
-        scan = artifact.signatures.filter(F.col("part").isin(keep))
     cand = scan.filter(covers(F.col("sig"), lit)).select("v").distinct()
     terms = cand.join(
         artifact.entity_dict.select(F.col("id").alias("v"), "term"), "v"
     ).select("term")
     return terms, scan
+
+
+def _cached_pred_ids(artifact) -> dict[str, int]:
+    """term -> predicate id, collected once per artifact handle (predicates
+    are few by design — the reference's Signature.h:33-35 assumption)."""
+    if getattr(artifact, "_pred_ids_cache", None) is None:
+        artifact._pred_ids_cache = {
+            r["term"]: r["id"] for r in artifact.pred_dict.collect()
+        }
+    return artifact._pred_ids_cache
+
+
+def _cached_pred_stats(artifact) -> dict[int, tuple] | None:
+    """pid -> (n, n_s, n_o), collected once per artifact handle; n_s/n_o
+    None for artifacts written before the fanout stats existed."""
+    if artifact.pred_stats is None:
+        return None
+    if getattr(artifact, "_pred_stats_cache", None) is None:
+        has_fanout = "n_s" in artifact.pred_stats.columns
+        artifact._pred_stats_cache = {
+            r["pid"]: (r["n"], r["n_s"] if has_fanout else None,
+                       r["n_o"] if has_fanout else None)
+            for r in artifact.pred_stats.collect()
+        }
+    return artifact._pred_stats_cache
 
 
 def match_over_blocks(
@@ -151,13 +205,16 @@ def match_over_blocks(
     projection: list[str] | None = None,
     min_degree: int = 2,
     decode: str = "auto",
+    sig_skip_small: int = 5_000,
+    sig_skip_frac: float = 0.3,
 ) -> DataFrame:
     """BGP matching that reads the EMITTED artifact, not a flat triple view
     — the analog of the reference answering queries out of its own store
     (KVstore.h:92-237 index probes driven from Join.cpp:1144-1388):
 
-      1. pattern views are reconstituted from ``explode(out)`` of the
-         adjacency blocks (internal vertices only — exact triple bag);
+      1. pattern views scan the artifact's physical triple orders — the
+         predicate-first table when present (point 6), else the exact bag
+         reconstituted from ``explode(out)`` of internal adjacency;
       2. per-var signature candidates are scanned from the artifact's
          signature table with hierarchical (part, bucket) pruning via the
          OR-aggregate signatures (candidate_terms_pruned);
@@ -168,7 +225,19 @@ def match_over_blocks(
       4. candidates semi-join into the leaf pattern views of the join tree
          (match_bgp), shrinking every downstream shuffle;
       5. join order follows the persisted p2num stats when present
-         (Join.cpp:71-77 cardinality score) — no caller opt-in needed.
+         (Join.cpp:71-77 cardinality score) — no caller opt-in needed;
+      6. constant-predicate patterns scan the PREDICATE-FIRST physical
+         order (triples_by_pred/, the p2s/p2o analog of
+         KVstore.h:265-293 dispatched by Strategy.cpp:272-362):
+         `pbucket=` directory pruning + the pushed `p = const` parquet
+         filter replace exploding the whole adjacency store — the single
+         biggest 100x-scale lever for the common ``?s <p> ?o`` shape;
+      7. the signature prefilter for a var is SKIPPED when pred_stats says
+         it cannot pay: the var's smallest incident leaf is already under
+         ``sig_skip_small`` rows, or its estimated candidate count (from
+         the per-predicate distinct-endpoint fanout stats) exceeds
+         ``sig_skip_frac`` of all vertices (an unselective signature scans
+         the whole table to prune nothing).
 
     Decode placements (same dictionary joins, different position):
       - ``decode="triples"``: ids decoded before matching — bulk analytics;
@@ -187,10 +256,11 @@ def match_over_blocks(
     from gstored_spark.kg.ids import decode_ids
     from gstored_spark.kg.link import maybe_broadcast
 
-    pred_ids = {r["term"]: r["id"] for r in artifact.pred_dict.collect()}
+    pred_ids = _cached_pred_ids(artifact)
     qsigs = query_var_signatures(patterns, pred_ids)
     degrees = var_degrees(patterns)
     entity_only = subject_vars(patterns)
+    stats = _cached_pred_stats(artifact)
 
     var_positions: dict[str, set] = {}
     for p in patterns:
@@ -204,16 +274,52 @@ def match_over_blocks(
         decode = "triples"  # id-decode would be wrong for mixed-position vars
     id_mode = decode == "ids"
 
+    def _sig_worth_it(v: str) -> bool:
+        """Prefilter pays only between two regimes (pred_stats-informed):
+        leaves already tiny -> the semi-join costs more than it saves;
+        candidate estimate ~ all vertices -> the scan prunes nothing."""
+        if stats is None:
+            return True
+        leaf_sizes, cand_ests = [], []
+        for p in patterns:
+            if p.s != "?" + v and p.o != "?" + v:
+                continue
+            if is_var(p.p):
+                return True  # no stats for a var predicate: keep prefilter
+            n, n_s, n_o = stats.get(pred_ids.get(p.p), (0, None, None))
+            leaf_sizes.append(n)
+            cand_ests.append(n_s if p.s == "?" + v else n_o)
+        if leaf_sizes and min(leaf_sizes) <= sig_skip_small:
+            return False
+        nv = artifact.meta.get("n_vertices")
+        ests = [e for e in cand_ests if e is not None]
+        if nv and ests and min(ests) >= sig_skip_frac * nv:
+            return False
+        return True
+
+    sig_vars = {
+        v: qsig
+        for v, qsig in qsigs.items()
+        if degrees.get(v, 0) >= min_degree and v in entity_only and _sig_worth_it(v)
+    }
     candidates = {}
-    for v, qsig in qsigs.items():
-        if degrees.get(v, 0) >= min_degree and v in entity_only:
-            terms, _ = candidate_terms_pruned(artifact, qsig)
-            candidates[v] = terms.join(
-                artifact.entity_dict, "term"
-            ).select("id") if id_mode else terms
+    if sig_vars:
+        # ONE pruning job for every prefiltered var (round-3 paid one
+        # driver round-trip per var)
+        level, groups = prune_groups(artifact, sig_vars)
+        for v, qsig in sig_vars.items():
+            scan = _pruned_scan(artifact, level, groups[v])
+            lit = F.array(*[F.lit(w).cast("long") for w in qsig])
+            cand = scan.filter(covers(F.col("sig"), lit)).select("v").distinct()
+            candidates[v] = cand.toDF("id") if id_mode else cand.join(
+                artifact.entity_dict.select(F.col("id").alias("v"), "term"), "v"
+            ).select("term")
 
     # F4 satellite pre-filter: subject vars the signature path skipped but
-    # that must carry specific out-predicates
+    # that must carry specific out-predicates — reads the PERSISTED s2p/o2p
+    # table (KVstore.h:265-293) when the artifact has one; deriving it from
+    # the full adjacency store per query (the round-3 shape) made the
+    # prefilter itself a full scan
     sat_req: dict[str, set[int]] = {}
     for p in patterns:
         if is_var(p.s) and not is_var(p.p):
@@ -222,7 +328,9 @@ def match_over_blocks(
             if pid is not None and v not in candidates:
                 sat_req.setdefault(v, set()).add(pid)
     if sat_req:
-        psets = vertex_predicate_sets(artifact.adjacency.filter("is_internal"))
+        psets = artifact.vertex_preds
+        if psets is None:
+            psets = vertex_predicate_sets(artifact.adjacency.filter("is_internal"))
         for v, pids in sat_req.items():
             req = F.array(*[F.lit(int(x)).cast("long") for x in sorted(pids)])
             cand_v = psets.filter(
@@ -234,17 +342,35 @@ def match_over_blocks(
 
     # default cardinality-based ordering from the persisted p2num stats
     pred_counts = None
-    if artifact.pred_stats is not None:
-        pid_counts = {r["pid"]: r["n"] for r in artifact.pred_stats.collect()}
-        pred_counts = pid_counts if id_mode else {
-            t: pid_counts.get(i, 0) for t, i in pred_ids.items()
+    if stats is not None:
+        pred_counts = stats if id_mode else {
+            t: stats.get(i, (0, None, None)) for t, i in pred_ids.items()
         }
 
-    ids = triples_from_adjacency(artifact.adjacency)
+    # physical access paths: the predicate-first table when the artifact
+    # has one (full bag = every pbucket; constant-predicate patterns are
+    # routed to their bucket below), else adjacency-explode reconstitution
+    tbp = artifact.triples_by_pred
+    if tbp is not None:
+        ids = tbp.select("s", "p", "o")
+    else:
+        ids = triples_from_adjacency(artifact.adjacency)
     # dictionaries are broadcast when actually small (adaptive — at web
     # scale the term dictionary outgrows the hint and shuffle-joins instead)
     term_dict = maybe_broadcast(artifact.entity_dict.unionByName(artifact.literal_dict))
     pred_dict = F.broadcast(artifact.pred_dict)  # predicates are few by design
+
+    def _routed_id_source(pat: TriplePattern) -> DataFrame:
+        """Leaf access-path dispatch (Strategy.cpp:272-362): a constant
+        predicate scans only its pbucket= directory with the p filter
+        pushed to parquet row-group stats."""
+        if tbp is not None and not is_var(pat.p):
+            pid = int(pat.p) if id_mode else pred_ids.get(pat.p, -1)
+            k = artifact.pred_buckets
+            return tbp.filter(
+                (F.col("pbucket") == pid % k) & (F.col("p") == pid)
+            ).select("s", "p", "o")
+        return ids
 
     if id_mode:
         # encode pattern constants driver-side (tiny isin collects); an
@@ -264,8 +390,12 @@ def match_over_blocks(
             TriplePattern(enc(p.s, cmap), enc(p.p, pred_ids), enc(p.o, cmap))
             for p in patterns
         ]
-        bindings = match_bgp(ids.toDF("subj", "pred", "obj"), id_pats,
-                             candidates=candidates, pred_counts=pred_counts)
+        bindings = match_bgp(
+            ids.toDF("subj", "pred", "obj"), id_pats,
+            candidates=candidates, pred_counts=pred_counts,
+            triples_for=(lambda pat: _routed_id_source(pat).toDF("subj", "pred", "obj"))
+            if tbp is not None else None,
+        )
         if missing:
             bindings = bindings.limit(0)
         # decode only the projected result columns (StringIndex placement)
@@ -280,12 +410,29 @@ def match_over_blocks(
             ).drop(f"_{v}_id")
         return decoded.select(*out_vars)
 
-    t = decode_ids(ids, "s", term_dict, "subj")
-    t = decode_ids(t, "p", pred_dict, "pred")
-    t = decode_ids(t, "o", term_dict, "obj")
-    triples = t.select("subj", "pred", "obj")
-    return match_bgp(triples, patterns, projection=projection,
-                     candidates=candidates, pred_counts=pred_counts)
+    def _decoded(src: DataFrame) -> DataFrame:
+        t = decode_ids(src, "s", term_dict, "subj")
+        t = decode_ids(t, "p", pred_dict, "pred")
+        t = decode_ids(t, "o", term_dict, "obj")
+        return t.select("subj", "pred", "obj")
+
+    return match_bgp(
+        _decoded(ids), patterns, projection=projection,
+        candidates=candidates, pred_counts=pred_counts,
+        triples_for=(lambda pat: _decoded(_routed_id_source(pat)))
+        if tbp is not None else None,
+    )
+
+
+def ask_over_blocks(artifact, patterns: list[TriplePattern]) -> DataFrame:
+    """ASK answered FROM THE EMITTED ARTIFACT — the reference's flagship
+    distributed query path ends in ASK (Main/gqueryD.cpp:108-265): the full
+    store-backed machinery (signature pruning, predicate-first routing,
+    p2num ordering) runs under a LIMIT-1 existence probe, which Spark
+    terminates early once any partition produces a row. Returns one row
+    (ask=true) or zero rows, the same shape as plans.bgp.ask."""
+    probe = match_over_blocks(artifact, patterns)
+    return probe.limit(1).select(F.lit(True).alias("ask"))
 
 
 def match_partitioned(
@@ -330,7 +477,15 @@ def match_partitioned(
     t = decode_ids(t, "p", F.broadcast(artifact.pred_dict), "pred")
     t = decode_ids(t, "o", term_dict, "obj")
 
-    if is_star(patterns):
+    # The star short-circuit is only sound for HASH-ROUTED artifacts: there
+    # every vertex has exactly one internal owner and crossing-edge
+    # replication makes its local star complete (Database.cpp:661-671).
+    # Built with a PARTIAL partition map, an unmapped vertex is internal
+    # nowhere and its out-edges scatter (mapped-object edges live only in
+    # the object's partition, gloadD.cpp:148-152) — NO partition holds its
+    # complete star, so such artifacts take the general assembly path,
+    # which evaluates patterns over the union of local bags and dedupes.
+    if is_star(patterns) and getattr(artifact, "hash_routed", True):
         # star short-circuit: join per partition, internal centers only
         src = t.filter("center_internal").select("part", "subj", "pred", "obj")
         acc, acc_vars = None, set()

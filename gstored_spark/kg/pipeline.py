@@ -45,6 +45,22 @@ class PipelineResult:
     extras: dict = field(default_factory=dict)
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint()'s storage blocks.
+
+    ``Dataset.unpersist`` goes through CacheManager.uncacheQuery and only
+    drops persist()-cached plans — NOT the RDD-level blocks localCheckpoint
+    creates, which otherwise live until the JVM RDD is GC'd. A
+    checkpointed Dataset's analyzed plan is a LogicalRDD wrapping exactly
+    that RDD, so unpersisting it releases the blocks (verified against
+    SparkContext.getRDDStorageInfo in tests/test_pred_path.py)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # non-checkpointed plan (no .rdd accessor) — nothing to release
+        pass
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -92,7 +108,7 @@ def run_pipeline(
     if store is None:
         # the mention stream is dead once the canonical triples exist;
         # free its checkpoint blocks (largest intermediate of the run)
-        mentions.unpersist()
+        release_checkpoint(mentions)
 
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
     entity_dict = stage("entity_dict", entity_dict)

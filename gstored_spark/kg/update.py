@@ -13,6 +13,20 @@ The reference updates all 12+6 B+-trees plus the VS*-tree per triple
   object) of every touched triple, exactly the partitions whose adjacency
   the reference would touch — are rebuilt; all other partition blocks are
   carried over unchanged (MERGE-INTO-shaped incremental maintenance).
+
+DECLARED DIVERGENCE — no ID reuse after delete. The reference maintains
+free-lists of deleted entity/literal/predicate IDs and re-issues them on
+insert (initIDinfo/allocate, Database.cpp:89-273, 275-411) because its ID
+space is a mutable resource backing fixed-width B+-tree keys. Here deleted
+IDs are simply retired: immutable snapshots mean no tree rewrites, and
+correctness never depends on density — only on uniqueness and the
+entity/literal range split. The cost is namespace consumption: the entity
+namespace holds 1e9 IDs (ids.LITERAL_FIRST_ID), so a workload would need
+a cumulative total of 1e9 *distinct entity terms ever inserted* (not live
+at once) to exhaust it — at that point the remedy is a compacting rebuild
+(build_dictionaries over the live triple set), the same full-rebuild
+escape hatch the reference documents for store bloat. Literals get the
+same 1e9-wide range; predicates are unbounded longs.
 """
 
 from __future__ import annotations

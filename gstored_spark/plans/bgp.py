@@ -100,24 +100,39 @@ def _pattern_df(triples: DataFrame, pat: TriplePattern, idx: int) -> tuple[DataF
     return out, pat.vars()
 
 
-def predicate_counts(triples: DataFrame) -> dict[str, int]:
-    """Per-predicate triple counts — the p2num statistics tree the reference
-    builds for ordering (KVstore/KVstore.h:296-301, preID2num). Predicates
-    are few; the collect is tiny."""
+def predicate_counts(triples: DataFrame) -> dict[str, tuple]:
+    """Per-predicate (n, n_distinct_subj, n_distinct_obj) — the p2num +
+    subIDpreID2num/objIDpreID2num statistics the reference builds for
+    ordering (KVstore/KVstore.h:296-301). Predicates are few; the collect
+    is tiny. Values feed _cardinality: a bound endpoint divides by the
+    measured distinct count (average fanout) instead of a flat constant."""
     return {
-        r["pred"]: r["n"]
-        for r in triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).collect()
+        r["pred"]: (r["n"], r["n_s"], r["n_o"])
+        for r in triples.groupBy("pred").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("subj").alias("n_s"),
+            F.approx_count_distinct("obj").alias("n_o"),
+        ).collect()
     }
 
 
 def _cardinality(pat: TriplePattern, bound: set[str], pred_counts, total: int) -> float:
     """Estimated result size of expanding by ``pat`` given already-bound
     vars — the |cand| in the reference's greedy score
-    (Join.cpp:71-77, score = 100000/|cand| weighted by degree)."""
-    est = float(pred_counts.get(pat.p, total)) if not is_var(pat.p) else float(total)
-    for term in (pat.s, pat.o):
+    (Join.cpp:71-77, score = 100000/|cand| weighted by degree).
+
+    ``pred_counts`` values are either a plain triple count n, or a
+    (n, n_s, n_o) tuple carrying per-predicate distinct-endpoint counts
+    (the subIDpreID2num/objIDpreID2num analog, KVstore.h:296-301): a bound
+    subject then divides by n_s (measured average out-fanout = n/n_s per
+    probe) instead of a flat constant — the flat 100 misestimates skewed
+    predicates by orders of magnitude."""
+    stat = pred_counts.get(pat.p, total) if not is_var(pat.p) else total
+    n, n_s, n_o = (stat if isinstance(stat, (tuple, list)) else (stat, None, None))
+    est = float(n)
+    for term, nd in ((pat.s, n_s), (pat.o, n_o)):
         if not is_var(term) or term in bound:
-            est /= 100.0  # constant or already-bound endpoint: point probe
+            est /= max(float(nd), 1.0) if nd else 100.0
     return est
 
 
@@ -134,7 +149,12 @@ def greedy_order(
     remaining = set(range(len(patterns)))
     order: list[int] = []
     bound: set[str] = set()
-    total = max(sum(pred_counts.values()), 1) if pred_counts else 1
+    total = 1
+    if pred_counts:
+        total = max(
+            sum(v[0] if isinstance(v, (tuple, list)) else v for v in pred_counts.values()),
+            1,
+        )
 
     while remaining:
         if pred_counts:
@@ -161,6 +181,7 @@ def match_bgp(
     projection: list[str] | None = None,
     candidates: dict[str, DataFrame] | None = None,
     pred_counts: dict[str, int] | None = None,
+    triples_for=None,
 ) -> DataFrame:
     """triples(subj, pred, obj) x BGP -> bindings DataFrame (one column per
     var, no '?' prefix). Disconnected components become cross joins (the
@@ -170,12 +191,19 @@ def match_bgp(
     ``candidates``: optional var -> single-column DataFrame of allowed
     bindings, semi-joined into each *leaf* pattern view before any join —
     the signature-prefilter hook (F1): leaves shrink, so every downstream
-    shuffle shrinks."""
+    shuffle shrinks.
+
+    ``triples_for``: optional ``pattern -> DataFrame`` physical-access-path
+    router (the Strategy.cpp:272-362 method-dispatch analog): each leaf
+    view scans the most selective physical order available for its shape
+    (e.g. the predicate-bucketed table for a constant predicate) instead of
+    one canonical bag. Every source must present (subj, pred, obj)."""
     order = greedy_order(patterns, pred_counts)
     acc: DataFrame | None = None
     acc_vars: set[str] = set()
     for idx in order:
-        pdf, pvars = _pattern_df(triples, patterns[idx], idx)
+        src = triples_for(patterns[idx]) if triples_for else triples
+        pdf, pvars = _pattern_df(src, patterns[idx], idx)
         if candidates:
             for v in pvars:
                 name = v[1:]
@@ -200,9 +228,20 @@ def match_bgp(
     return acc
 
 
-def run_query_text(triples: DataFrame, query_text: str, distinct: bool = False) -> DataFrame:
+def run_query_text(
+    triples: DataFrame,
+    query_text: str,
+    distinct: bool = False,
+    pred_counts="auto",
+) -> DataFrame:
+    """Parse + evaluate the reference's query-file format. ``pred_counts``:
+    "auto" gathers the p2num stats (one tiny groupBy per query) so parsed
+    queries order by cardinality BY DEFAULT, like the store-backed path;
+    pass None to skip or a precomputed dict to reuse."""
     proj, patterns = parse_query(query_text)
-    out = match_bgp(triples, patterns, proj)
+    if pred_counts == "auto":
+        pred_counts = predicate_counts(triples) if len(patterns) > 1 else None
+    out = match_bgp(triples, patterns, proj, pred_counts=pred_counts)
     return out.distinct() if distinct else out
 
 
@@ -214,7 +253,15 @@ def is_star(patterns: list[TriplePattern]) -> bool:
     if not patterns:
         return False
     centers = {p.s for p in patterns}
-    return len(centers) == 1 and is_var(next(iter(centers)))
+    if len(centers) != 1:
+        return False
+    center = next(iter(centers))
+    if not is_var(center):
+        return False
+    # the center var must not reappear as a predicate or object: (?x p ?x)
+    # is a self-loop equality, not a star — it falls through to the general
+    # path (which applies the repeated-var filter, _pattern_df)
+    return all(p.p != center and p.o != center for p in patterns)
 
 
 # ---------------------------------------------------------------------------
@@ -259,34 +306,50 @@ class GroupPattern:
         self.not_exists = self.not_exists or []
 
 
-def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
+def eval_group(
+    triples: DataFrame,
+    g: GroupPattern,
+    pred_counts: dict[str, int] | None = None,
+) -> DataFrame:
     """Evaluate a GroupPattern to a bindings DataFrame.
 
     OPTIONAL -> left_outer on shared vars (TempResult::doOptional,
     GeneralEvaluation.cpp:1217-1269); MINUS -> left_anti
-    (doMinus, 1270-1307); UNION -> unionByName allowMissingColumns
-    (doUnion, 1202-1216 keeps per-varset groups — missing vars are NULL
-    here, the unbound analog); FILTER applied as soon as its vars are
-    covered (2780-2793)."""
+    (doMinus, 1270-1307); UNION -> per-branch base joins then unionByName
+    (doUnion, 1202-1216 keeps per-VARSET groups; see below); FILTER applied
+    as soon as its vars are covered (2780-2793). ``pred_counts`` (the p2num
+    stats, predicate_counts()) flows into every match_bgp call so parsed
+    queries get cardinality-based join ordering too."""
     def _pred(f):
         return F.expr(f) if isinstance(f, str) else f
 
-    acc = match_bgp(triples, g.patterns) if g.patterns else None
+    acc = match_bgp(triples, g.patterns, pred_counts=pred_counts) if g.patterns else None
     if g.unions:
-        # branches union into ONE relation (A ∪ B ∪ ...), which then JOINS
-        # the base bindings on shared vars — SPARQL group semantics
-        # {P . {A} UNION {B}} = P ⋈ (A ∪ B), not (P ∪ A ∪ B)
-        u: DataFrame | None = None
-        for branch in g.unions:
-            b = eval_group(triples, branch)
-            u = b if u is None else u.unionByName(b, allowMissingColumns=True)
+        # {P . {A} UNION {B}} = P ⋈ (A ∪ B) — but branches may bind
+        # DIFFERENT var subsets, and a var one branch leaves unbound is
+        # join-compatible with anything in SPARQL. Padding branches with
+        # NULLs and joining the union once would drop every row whose NULL
+        # lands in a join key; so the base joins EACH branch on that
+        # branch's actually-bound shared vars, and the per-branch results
+        # union (the reference's TempResult keeps per-varset groups and
+        # joins each on its own bound vars for exactly this reason).
+        branches = [eval_group(triples, br, pred_counts) for br in g.unions]
         if acc is None:
+            u: DataFrame | None = None
+            for b in branches:
+                u = b if u is None else u.unionByName(b, allowMissingColumns=True)
             acc = u
         else:
-            shared = [c for c in acc.columns if c in u.columns]
-            acc = acc.join(u, shared, "inner") if shared else acc.crossJoin(u)
+            joined: DataFrame | None = None
+            for b in branches:
+                shared = [c for c in acc.columns if c in b.columns]
+                jb = acc.join(b, shared, "inner") if shared else acc.crossJoin(b)
+                joined = jb if joined is None else joined.unionByName(
+                    jb, allowMissingColumns=True
+                )
+            acc = joined
     for j in g.joins:
-        jdf = eval_group(triples, j)
+        jdf = eval_group(triples, j, pred_counts)
         if acc is None:
             acc = jdf
         else:
@@ -296,11 +359,11 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
     for f in g.filters:
         acc = acc.filter(_pred(f))
     for opt in g.optionals:
-        o = eval_group(triples, opt)
+        o = eval_group(triples, opt, pred_counts)
         shared = [c for c in acc.columns if c in o.columns]
         acc = acc.join(o, shared, "left_outer") if shared else acc.crossJoin(o)
     for m in g.minus:
-        mdf = eval_group(triples, m)
+        mdf = eval_group(triples, m, pred_counts)
         shared = [c for c in acc.columns if c in mdf.columns]
         if shared:
             acc = acc.join(mdf.select(*shared).distinct(), shared, "left_anti")
@@ -308,12 +371,12 @@ def eval_group(triples: DataFrame, g: GroupPattern) -> DataFrame:
     # join (F7's leftsemi shape; the reference evaluates these as nested
     # pattern groups inside the filter tree, GeneralEvaluation.cpp:2257-2286)
     for e in g.exists:
-        edf = eval_group(triples, e)
+        edf = eval_group(triples, e, pred_counts)
         shared = [c for c in acc.columns if c in edf.columns]
         acc = acc.join(edf.select(*shared).distinct(), shared, "leftsemi") if shared \
             else acc.join(edf.limit(1), F.lit(True), "leftsemi")
     for e in g.not_exists:
-        edf = eval_group(triples, e)
+        edf = eval_group(triples, e, pred_counts)
         shared = [c for c in acc.columns if c in edf.columns]
         acc = acc.join(edf.select(*shared).distinct(), shared, "left_anti") if shared \
             else acc.join(edf.limit(1), F.lit(True), "left_anti")

@@ -646,13 +646,37 @@ def run_update(triples: DataFrame, text: str) -> DataFrame:
     return triples.unionByName(ground, allowMissingColumns=True).distinct()
 
 
-def run_sparql(triples: DataFrame, text: str) -> DataFrame:
+def _needs_ordering(g: GroupPattern) -> bool:
+    """Stats pay only when some group joins >= 2 patterns."""
+    if len(g.patterns) > 1:
+        return True
+    return any(
+        _needs_ordering(sub)
+        for subs in (g.optionals, g.unions, g.minus, g.joins, g.exists, g.not_exists)
+        for sub in subs
+    )
+
+
+def run_sparql(triples: DataFrame, text: str, pred_counts="auto") -> DataFrame:
     """Parse and evaluate a SPARQL query over triples(subj, pred, obj).
 
     SELECT -> one column per projected var (no '?'); ASK -> zero-or-one row
-    with column ``ask`` = true (the LIMIT-1 probe, plans/bgp.ask)."""
+    with column ``ask`` = true (the LIMIT-1 probe, plans/bgp.ask).
+
+    ``pred_counts``: "auto" (default) gathers the p2num statistics with one
+    tiny groupBy when the query has a multi-pattern group, so PARSED queries
+    seed the greedy join order by measured cardinality exactly like the
+    store-backed matcher (which reads the persisted stats); pass None to
+    skip, or a precomputed dict (plans.bgp.predicate_counts / artifact
+    pred_stats) to reuse across queries."""
     q = parse_sparql(text)
-    df = eval_group(triples, q.group)
+    if pred_counts == "auto":
+        from gstored_spark.plans.bgp import predicate_counts
+
+        pred_counts = (
+            predicate_counts(triples) if _needs_ordering(q.group) else None
+        )
+    df = eval_group(triples, q.group, pred_counts=pred_counts)
     if q.form == "ask":
         return df.limit(1).select(F.lit(True).alias("ask"))
     proj = q.projection if q.projection is not None else _group_vars(q.group)

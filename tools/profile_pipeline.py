@@ -51,8 +51,10 @@ def main():
     t_all = time.time()
     extracted = stage("extract", E.extracted(docs))
     mentions = stage("mentions", Tr.mention_triples(extracted))
-    docs.unpersist()
-    extracted.unpersist()
+    from gstored_spark.kg.pipeline import release_checkpoint
+
+    docs.unpersist()  # caller-persisted input: CacheManager path works
+    release_checkpoint(extracted)
 
     # canonicalization broken into sub-steps
     from gstored_spark.kg.link import alias_dictionary, link_surfaces, maybe_broadcast
@@ -96,7 +98,7 @@ def main():
         "apply_canon+distinct",
         t.select("subj", "pred", obj.alias("obj"), "o_is_entity", "url").distinct(),
     )
-    mentions.unpersist()
+    release_checkpoint(mentions)
 
     t0 = time.time()
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
