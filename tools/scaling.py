@@ -27,54 +27,88 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUNNER = r"""
-import json, os, sys, time
+import json, os, sys, threading, time
 sys.path.insert(0, {repo!r})
 from gstored_spark.session import get_spark
 from gstored_spark.sources.corpus import generate_documents
 from gstored_spark.kg.pipeline import run_pipeline
 
 
-def tree_cpu() -> float:
-    # USER-mode CPU seconds of this process and every live descendant (JVM,
-    # Python workers), plus reaped-children user time — sampled BEFORE
-    # spark.stop() so the JVM is still visible in /proc. User-mode only, to
-    # match the user-mode host counter: kernel time (kworker flushes doing
-    # our own shuffle/checkpoint IO) is attributable to no process and must
-    # not read as external load.
-    procs = dict()
-    daemons = set()
-    for d in os.listdir('/proc'):
-        if not d.isdigit():
-            continue
-        try:
-            parts = open(f'/proc/' + d + '/stat').read().rsplit(')', 1)[1].split()
-            # after the comm field: [0]=state [1]=ppid ... [11]=utime
-            # [12]=stime [13]=cutime [14]=cstime
-            ppid = int(parts[1])
-            cpu = (int(parts[11]) + int(parts[13])) / 100  # utime + cutime
-            procs[int(d)] = (ppid, cpu)
-            # pyspark.daemon workers double-fork and reparent to init,
-            # falling out of the ppid tree — claim them by cmdline
-            cmd = open(f'/proc/' + d + '/cmdline', 'rb').read()
-            if b'pyspark.daemon' in cmd or b'pyspark.worker' in cmd:
-                daemons.add(int(d))
-        except Exception:
-            continue
-    tree = set(daemons)
-    me = os.getpid()
-    grew = True
-    tree.add(me)
-    while grew:
-        grew = False
-        for pid, (ppid, _) in procs.items():
-            if ppid in tree and pid not in tree:
-                tree.add(pid)
-                grew = True
-    return sum(cpu for pid, (pp, cpu) in procs.items() if pid in tree)
+class CpuSampler:
+    # Per-PID user-CPU attribution by PERIODIC SAMPLING, not two-point
+    # tree sums. The round-1..3 accounting summed live-process utime at
+    # window start and end: every Spark python worker that died mid-run
+    # (worker churn between stages is routine) dropped out of the end sum
+    # while its large corpus-gen baseline inflated the start sum — ~75% of
+    # self CPU went unattributed and read as phantom "external busy",
+    # which is why 8-core legs at 2M docs always logged ext~0.19-0.21
+    # even on a load-0.2 box. Sampling every ``dt`` seconds keyed by
+    # (pid, starttime) loses at most one interval per dying process.
+    # User-mode only on both sides: kernel time (kworker flushes doing our
+    # own shuffle IO) is attributable to no process by design.
+    def __init__(self, dt=1.5):
+        self.dt = dt
+        self.me = os.getpid()
+        self.first = dict()   # (pid, starttime) -> utime at first sight
+        self.last = dict()    # (pid, starttime) -> (utime, mine) latest
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _scan(self):
+        procs = dict()
+        claimed = set()
+        for d in os.listdir('/proc'):
+            if not d.isdigit():
+                continue
+            try:
+                parts = open('/proc/' + d + '/stat').read().rsplit(')', 1)[1].split()
+                # after comm: [1]=ppid [11]=utime [19]=starttime
+                procs[int(d)] = (int(parts[1]), int(parts[11]) / 100, int(parts[19]))
+                cmd = open('/proc/' + d + '/cmdline', 'rb').read()
+                if b'pyspark.daemon' in cmd or b'pyspark.worker' in cmd:
+                    claimed.add(int(d))
+            except Exception:
+                continue
+        tree = set(claimed)
+        tree.add(self.me)
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _, _) in procs.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        for pid, (ppid, ut, st) in procs.items():
+            key = (pid, st)
+            if key not in self.first:
+                self.first[key] = ut
+            self.last[key] = (ut, pid in tree)
+
+    def _run(self):
+        while not self._stop.is_set():
+            self._scan()
+            self._stop.wait(self.dt)
+
+    def start(self):
+        self._scan()
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join()
+        self._scan()
+        mine = ext = 0.0
+        for key, (ut, is_mine) in self.last.items():
+            d = ut - self.first[key]
+            if is_mine:
+                mine += d
+            else:
+                ext += d
+        return mine, ext
 
 
 def host_busy() -> float:
-    # user+nice only (see tree_cpu: kernel time is excluded on both sides)
+    # user+nice only (see CpuSampler: kernel time is excluded on both sides)
     f = open('/proc/stat').readline().split()
     v = list(map(int, f[1:9]))
     return (v[0] + v[1]) / 100, v[7] / 100
@@ -94,23 +128,29 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 docs = generate_documents(spark, n_docs, parallelism=max(cpus * 2, 16)).persist()
 docs.count()  # corpus generation excluded from the timed window
-# interference deltas are taken over the SAME window as the timing, so
-# corpus-gen worker CPU cannot masquerade as external load
+# interference samples cover the SAME window as the timing, so corpus-gen
+# worker CPU cannot masquerade as external load (per-pid baselines are
+# taken at sampler start)
 busy0, steal0 = host_busy()
-tree0 = tree_cpu()
+sampler = CpuSampler()
+sampler.start()
 t0 = time.time()
 res = run_pipeline(spark, docs, n_parts=16, release_input=True)
 n = res.id_triples.count()
 a = res.adjacency.count()
 p = res.part_sig.count()
 dt = time.time() - t0
-tree1 = tree_cpu()
+cpu_self, ext = sampler.stop()
 busy1, steal1 = host_busy()
 spark.stop()
-ext = max((busy1 - busy0) - (tree1 - tree0), 0.0)
+# unattributed = host user busy neither sampled as ours nor as external:
+# sub-interval lives of dying processes. Should be small; reported so a
+# broken-accounting regression is visible instead of silent.
+unattr = max((busy1 - busy0) - cpu_self - ext, 0.0)
 print("RESULT " + json.dumps(dict(cpus=cpus, docs=n_docs, triples=n,
       adjacency=a, parts=p, sec=round(dt, 2), tps=round(n / dt, 2),
-      cpu_self=round(tree1 - tree0, 1), ext_busy_s=round(ext, 1),
+      cpu_self=round(cpu_self, 1), ext_busy_s=round(ext, 1),
+      unattr_s=round(unattr, 1),
       steal_s=round(steal1 - steal0, 1),
       ext_busy_frac=round(ext / (dt * os.cpu_count()), 4))))
 """
