@@ -257,7 +257,9 @@ def _graph_artifact(spark: SparkSession, sf: str) -> "object":
     from gstored_spark.kg import partition as P
     from gstored_spark.kg.pipeline import PipelineResult
 
-    out = f"/tmp/gstored_artifact_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    # f3: layout format 3 (vertex_preds part= dirs) — older cached dirs
+    # under the unversioned name are simply ignored
+    out = f"/tmp/gstored_artifact_f3_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if sf not in _ARTIFACT_CACHE or not os.path.exists(f"{out}/part_sig"):
         n_parts = 8
         triples = _graph_triples(spark, sf).withColumn("o_is_entity", F.lit(True))
@@ -327,6 +329,56 @@ def _q_bgp_ask_blocks(spark, sf):
     return ask_over_blocks(art, [TriplePattern("?o", "<placed_by>", "cust:1")])
 
 
+def _q_update_artifact(spark, sf):
+    """End-to-end IN-PLACE artifact maintenance (kg.update.update_artifact
+    — the reference's per-batch B+-tree/VS*-tree update,
+    Database.cpp:3038-3200, as dynamic partition overwrite of affected
+    dirs): copy the store, DELETE every <placed_by>->cust:1 triple, INSERT
+    two triples under a brand-new predicate (exercising dictionary append),
+    then report per-predicate distinct-triple counts READ BACK from the
+    patched predicate-first table."""
+    import shutil
+
+    from gstored_spark.kg import blocks as B
+    from gstored_spark.kg.ids import decode_ids
+    from gstored_spark.kg.update import update_artifact
+
+    art = _graph_artifact(spark, sf)
+    dst = art.dir + "_upd"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(art.dir, dst)
+    g = _graph_triples(spark, sf)
+    deletes = g.filter(
+        (F.col("pred") == "<placed_by>") & (F.col("obj") == "cust:1")
+    ).select("subj", "pred", "obj").distinct()
+    inserts = spark.createDataFrame(
+        [("<ent:upd1>", "<upd_pred>", "cust:1", True),
+         ("<ent:upd1>", "<upd_pred>", "nat:3", True)],
+        ["subj", "pred", "obj", "o_is_entity"],
+    )
+    art2 = update_artifact(spark, dst, inserts=inserts, deletes=deletes)
+    tbp = art2.triples_by_pred.select("s", "p", "o").distinct()
+    out = decode_ids(tbp, "p", art2.pred_dict, "pred")
+    return out.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).orderBy("pred")
+
+
+def _q_bgp_ask_lecf(spark, sf):
+    """ASK via the LEC-FEATURE assembly (Util::HashLECFJoin,
+    Util/Util.cpp:1560-1690): fragments ship only each local match's
+    projection onto the assembly-interface vars, deduped, joined as
+    features under a LIMIT-1 probe — the ASK-specific distributed join the
+    reference runs instead of full SELECT assembly."""
+    from gstored_spark.kg.match import ask_partitioned
+    from gstored_spark.plans.bgp import TriplePattern
+
+    art = _graph_artifact(spark, sf)
+    pats = [
+        TriplePattern("?o", "<placed_by>", "?c"),
+        TriplePattern("?c", "<in_nation>", "nat:3"),
+    ]
+    return ask_partitioned(art, pats)
+
+
 def _q_pred_var_join(spark, sf):
     """J7 predicate-variable resolution (Join.cpp:466-700): (?s ?p const)."""
     from gstored_spark.plans.bgp import TriplePattern, match_bgp
@@ -345,6 +397,23 @@ def _q_bgp_optional(spark, sf):
         optionals=[GroupPattern(patterns=[TriplePattern("?o", "<placed_by>", "?c")])],
     )
     return eval_group(_graph_triples(spark, sf), g).select("c", "o")
+
+
+def _q_bgp_optional_assembly(spark, sf):
+    """J4 OPTIONAL where BOTH leaf BGPs are answered by the
+    PE-and-assembly matcher over the emitted artifact
+    (eval_group_partitioned): per-fragment local matches assembled, then
+    the master-side doOptional left_outer (GeneralEvaluation.cpp:1217-1269)
+    — same oracle as bgp_optional."""
+    from gstored_spark.kg.match import eval_group_partitioned
+    from gstored_spark.plans.bgp import GroupPattern, TriplePattern
+
+    art = _graph_artifact(spark, sf)
+    g = GroupPattern(
+        patterns=[TriplePattern("?c", "<in_nation>", "nat:5")],
+        optionals=[GroupPattern(patterns=[TriplePattern("?o", "<placed_by>", "?c")])],
+    )
+    return eval_group_partitioned(art, g).select("c", "o")
 
 
 def _q_bgp_union(spark, sf):
@@ -726,11 +795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star": _q_bgp_star,
         "pred_var_join": _q_pred_var_join,
         "bgp_optional": _q_bgp_optional,
+        "bgp_optional_assembly": _q_bgp_optional_assembly,
         "bgp_union": _q_bgp_union,
         "bgp_minus": _q_bgp_minus,
         "bgp_filter": _q_bgp_filter,
         "bgp_ask": _q_bgp_ask,
         "bgp_ask_blocks": _q_bgp_ask_blocks,
+        "bgp_ask_lecf": _q_bgp_ask_lecf,
+        "update_artifact_counts": _q_update_artifact,
         "bgp_parsed": _q_bgp_parsed,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
@@ -867,6 +939,13 @@ def oracle_sql() -> dict[str, str]:
               ON t2.pred = '<placed_by>' AND t2.obj = t1.subj
             WHERE t1.pred = '<in_nation>' AND t1.obj = 'nat:5'
         """,
+        "bgp_optional_assembly": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS c, t2.subj AS o
+            FROM g t1 LEFT JOIN g t2
+              ON t2.pred = '<placed_by>' AND t2.obj = t1.subj
+            WHERE t1.pred = '<in_nation>' AND t1.obj = 'nat:5'
+        """,
         "bgp_union": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT subj AS x FROM g WHERE pred = '<in_nation>' AND obj = 'nat:1'
@@ -895,6 +974,26 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS ({_GRAPH_SQL})
             SELECT true AS ask WHERE EXISTS (
                 SELECT 1 FROM g WHERE pred = '<placed_by>' AND obj = 'cust:1')
+        """,
+        "bgp_ask_lecf": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT true AS ask WHERE EXISTS (
+                SELECT 1 FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+                WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+                  AND t2.obj = 'nat:3')
+        """,
+        "update_artifact_counts": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            dedup AS (SELECT DISTINCT subj, pred, obj FROM g),
+            merged AS (
+                SELECT subj, pred, obj FROM dedup
+                WHERE NOT (pred = '<placed_by>' AND obj = 'cust:1')
+                UNION ALL
+                SELECT * FROM (VALUES ('<ent:upd1>', '<upd_pred>', 'cust:1'),
+                                      ('<ent:upd1>', '<upd_pred>', 'nat:3'))
+                       AS t(subj, pred, obj)
+            )
+            SELECT pred, count(*) AS n FROM merged GROUP BY pred ORDER BY pred
         """,
         "bgp_parsed": f"""
             WITH g AS ({_GRAPH_SQL})

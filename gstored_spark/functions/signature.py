@@ -136,6 +136,106 @@ def term_str_bits_udf(term: pd.Series) -> pd.Series:
     return pd.Series([row if v else [] for row, v in zip(mat, valid)])
 
 
+def _m32l() -> Column:
+    """0xFFFFFFFF as a long literal (built lazily: F.lit needs an active
+    SparkContext, so no module-level Column constants)."""
+    return F.lit(0xFFFFFFFF).cast("long")
+
+
+def _utf8_byte_array(col: Column) -> Column:
+    """string -> array<long> of its UTF-8 byte values (0..255), via the hex
+    encoding of the binary form — pure catalyst expressions, no Python.
+    Guarded for the empty string (sequence(1,0) would DESCEND in Spark)."""
+    h = F.hex(F.encode(col, "UTF-8"))
+    n = (F.length(h) / 2).cast("int")
+    arr = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.conv(h.substr(i * 2 - 1, F.lit(2)), 16, 10).cast("long"),
+    )
+    return F.when(n > 0, arr).otherwise(F.array().cast("array<long>"))
+
+
+def _sx_col(b: Column) -> Column:
+    """C signed-char promotion viewed as uint32 (hashing._sx):
+    0x80..0xFF -> 0xFFFFFF80..0xFFFFFFFF."""
+    return F.when(b >= 128, b + F.lit(4294967040)).otherwise(b)
+
+
+def simple_hash_col(bytes_arr: Column) -> Column:
+    """JVM twin of hashing.simple_hash over a UTF-8 byte array."""
+    key = F.aggregate(
+        bytes_arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: (acc * 31 + b).bitwiseAND(_m32l()),
+    )
+    return key.bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def bkdr_hash_col(bytes_arr: Column) -> Column:
+    """JVM twin of hashing.bkdr_hash (signed-char bytes, seed 131)."""
+    key = F.aggregate(
+        bytes_arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: (acc * 131 + _sx_col(b)).bitwiseAND(_m32l()),
+    )
+    return key.bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def ap_hash_col(bytes_arr: Column) -> Column:
+    """JVM twin of hashing.ap_hash: alternating-by-index XOR mix, tracked
+    with a (key, i) struct accumulator."""
+    def step(acc, b):
+        key, i = acc["key"], acc["i"]
+        ch = _sx_col(b)
+        even = key.bitwiseXOR(
+            F.shiftleft(key, 7).bitwiseAND(_m32l()).bitwiseXOR(ch).bitwiseXOR(
+                F.shiftright(key, 3)
+            )
+        )
+        odd = key.bitwiseXOR(
+            F.bitwise_not(
+                F.shiftleft(key, 11).bitwiseAND(_m32l()).bitwiseXOR(ch).bitwiseXOR(
+                    F.shiftright(key, 5)
+                )
+            ).bitwiseAND(_m32l())
+        )
+        nk = F.when(i % 2 == 0, even).otherwise(odd).bitwiseAND(_m32l())
+        return F.struct(nk.alias("key"), (i + 1).alias("i"))
+
+    return F.aggregate(
+        bytes_arr,
+        F.struct(F.lit(0).cast("long").alias("key"), F.lit(0).alias("i")),
+        step,
+        lambda acc: acc["key"].bitwiseAND(F.lit(0x7FFFFFFF)),
+    )
+
+
+def term_str_bits_col(term: Column) -> Column:
+    """JVM twin of term_str_bits_udf: the three neighbor-string bit
+    positions one term contributes (str_bits, Signature.cpp:112-155) as
+    pure catalyst higher-order expressions — zero Python workers. Bit-exact
+    to str_bits (asserted in tests); empty/NULL/'?'-prefixed terms
+    contribute nothing, '"'-prefixed literals take the +300 offset.
+
+    Measured (1M distinct IRIs, local[16], warm): 9.6 s vs 0.70 s for
+    term_str_bits_udf — catalyst higher-order aggregates evaluate per
+    element in the interpreter, while the UDF's numpy batch runs one
+    vectorized op per byte POSITION over the whole Arrow batch. The UDF
+    therefore stays the default (vertex_signatures_from_ids
+    term_bits_impl="udf"); this twin exists for Python-less deployments
+    and as the living spec of the byte-level semantics."""
+    b = _utf8_byte_array(term)
+    first = term.substr(1, 1)
+    valid = term.isNotNull() & (F.length(term) > 0) & (first != "?")
+    off = F.when(first == '"', F.lit(STR_SIG_LENGTH2)).otherwise(F.lit(0))
+    p0 = (simple_hash_col(b) % STR_SIG_BASE + off).cast("int")
+    p1 = (F.lit(STR_SIG_BASE) + ap_hash_col(b) % STR_SIG_BASE + off).cast("int")
+    p2 = (F.lit(2 * STR_SIG_BASE) + bkdr_hash_col(b) % STR_SIG_BASE + off).cast("int")
+    return F.when(valid, F.array(p0, p1, p2)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def edge_bit_col(pid: Column, is_out: bool) -> Column:
     """JVM twin of edge_bits (Signature.cpp:34-76 method 1): pure column
     arithmetic on the predicate id — no Python in the per-triple path."""

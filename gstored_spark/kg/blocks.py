@@ -114,7 +114,10 @@ def vertex_signatures(
 
 
 def vertex_signatures_from_ids(
-    id_triples: DataFrame, entity_dict: DataFrame, literal_dict: DataFrame
+    id_triples: DataFrame,
+    entity_dict: DataFrame,
+    literal_dict: DataFrame,
+    term_bits_impl: str = "udf",
 ) -> DataFrame:
     """-> signatures(v long, sig array<long>[13]) — bit-identical to
     vertex_signatures, restructured for scale: the 3 neighbor-string hashes
@@ -128,9 +131,16 @@ def vertex_signatures_from_ids(
     string bits + out-edge predicate bit; entity-object vertex ORs the
     subject's string bits + in-edge predicate bit
     (Database.cpp:1543-1562 build pass, Signature.cpp:34-76,112-155)."""
+    from gstored_spark.functions.signature import term_str_bits_col
+
+    bits = (
+        term_str_bits_col(F.col("term"))
+        if term_bits_impl == "col"
+        else term_str_bits_udf(F.col("term"))
+    )
     term_bits = (
         entity_dict.unionByName(literal_dict)
-        .select("id", term_str_bits_udf(F.col("term")).alias("nb"))
+        .select("id", bits.alias("nb"))
         .localCheckpoint(eager=False)  # two consumers; cache on first use
     )
     sub = (
@@ -287,14 +297,20 @@ def write_artifact(
 
     # persisted s2p/o2p (KVstore.h:265-293): the F4 satellite prefilter
     # reads THIS small table instead of re-deriving predicate sets from the
-    # full adjacency store on every query
+    # full adjacency store on every query; part= dirs let update_artifact
+    # patch exactly the partitions a change set touches (format 3)
     vertex_predicate_sets(result.adjacency.filter("is_internal")).select(
-        "v", "out_preds", "in_preds"
-    ).write.mode(mode).parquet(f"{out_dir}/vertex_preds")
+        "part", "v", "out_preds", "in_preds"
+    ).write.mode(mode).partitionBy("part").parquet(f"{out_dir}/vertex_preds")
 
     part_sigs = partitioned_signatures(result.signatures, result.internal)
-    counts = result.internal.filter("is_internal").agg(
-        F.count(F.lit(1)).alias("nv"), F.countDistinct("part").alias("np")
+    # n_parts is a LAYOUT constant (owner() modulus): max(part)+1 over every
+    # placed vertex — countDistinct over internal-only rows would undercount
+    # when a partition happens to own no vertex, and update_artifact routes
+    # changes with this modulus
+    counts = result.internal.agg(
+        F.count(F.when(F.col("is_internal"), 1)).alias("nv"),
+        (F.max("part") + 1).alias("np"),
     ).collect()[0]
     sig_buckets = adaptive_sig_buckets(counts["nv"], counts["np"], target=sig_bucket_target)
     part_sigs = with_sig_buckets(part_sigs, sig_buckets)
@@ -310,7 +326,7 @@ def write_artifact(
     result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
     result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
     spark.createDataFrame(
-        [(2, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
+        [(3, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
         "format int, sig_buckets int, pred_buckets int, hash_routed boolean,"
         " n_vertices long, n_parts int",
     ).coalesce(1).write.mode(mode).json(f"{out_dir}/meta")

@@ -435,6 +435,32 @@ def ask_over_blocks(artifact, patterns: list[TriplePattern]) -> DataFrame:
     return probe.limit(1).select(F.lit(True).alias("ask"))
 
 
+def _local_bag(artifact) -> DataFrame:
+    """Every partition's LOCAL triple bag — all out-edges of its vertices
+    including crossing replicas, exactly what gloadD routing placed there
+    (gloadD.cpp:118-153) — decoded to strings, keyed by (part,
+    center_internal, subj, pred, obj)."""
+    from gstored_spark.kg.ids import decode_ids
+    from gstored_spark.kg.link import maybe_broadcast
+
+    term_dict = maybe_broadcast(
+        artifact.entity_dict.unionByName(artifact.literal_dict)
+    )
+    local = artifact.adjacency.select(
+        "part",
+        F.col("is_internal").alias("center_internal"),
+        F.col("v").alias("s"),
+        F.explode("out").alias("e"),
+    ).select(
+        "part", "center_internal", "s",
+        F.col("e.p").alias("p"), F.col("e.o").alias("o"),
+    )
+    t = decode_ids(local, "s", term_dict, "subj")
+    t = decode_ids(t, "p", F.broadcast(artifact.pred_dict), "pred")
+    t = decode_ids(t, "o", term_dict, "obj")
+    return t
+
+
 def match_partitioned(
     artifact,
     patterns: list[TriplePattern],
@@ -457,25 +483,9 @@ def match_partitioned(
     Result-equal to match_over_blocks (asserted in tests and by the
     bgp_assembly driver oracle).
     """
-    from gstored_spark.kg.ids import decode_ids
-    from gstored_spark.kg.link import maybe_broadcast
     from gstored_spark.plans.bgp import _pattern_df, greedy_order, is_star, is_var
 
-    term_dict = maybe_broadcast(
-        artifact.entity_dict.unionByName(artifact.literal_dict)
-    )
-    local = artifact.adjacency.select(
-        "part",
-        F.col("is_internal").alias("center_internal"),
-        F.col("v").alias("s"),
-        F.explode("out").alias("e"),
-    ).select(
-        "part", "center_internal", "s",
-        F.col("e.p").alias("p"), F.col("e.o").alias("o"),
-    )
-    t = decode_ids(local, "s", term_dict, "subj")
-    t = decode_ids(t, "p", F.broadcast(artifact.pred_dict), "pred")
-    t = decode_ids(t, "o", term_dict, "obj")
+    t = _local_bag(artifact)
 
     # The star short-circuit is only sound for HASH-ROUTED artifacts: there
     # every vertex has exactly one internal owner and crossing-edge
@@ -529,6 +539,82 @@ def match_partitioned(
     if projection:
         out = out.select(*[v.lstrip("?") for v in projection])
     return out
+
+
+def ask_partitioned(artifact, patterns: list[TriplePattern]) -> DataFrame:
+    """ASK via the LEC-feature assembly — the reference's ASK-specific
+    distributed join (Util::HashLECFJoin, Util/Util.cpp:1560-1690, driven
+    from the gqueryD lifecycle, Main/gqueryD.cpp:108-265).
+
+    For a boolean answer the master never needs full local matches: each
+    fragment ships only each local match's FEATURE — its projection onto
+    the assembly interface. In the reference that interface is the
+    crossing-edge mapping vector (``mapping_str`` per crossing edge) plus
+    the merged ``matchVec`` where locally-unbound vars hold ``"-1"`` and
+    merge by agreement (isFinalResult/merge loop, Util.cpp:1465-1558); the
+    DataFrame analog of that interface is the set of vars a pattern SHARES
+    with the rest of the query — the only columns any assembly join ever
+    keys on. Features are deduplicated before shipping (the reference's
+    ``edge_LECF_map`` bucketing dedupes per crossing-edge value) and joined
+    exactly like matches; projecting a relation onto a superset of its
+    future join keys preserves existence, so the assembled feature relation
+    is non-empty iff the full assembled match relation is. The probe
+    terminates at the first assembled row (LIMIT 1 — Spark stops the scan
+    early), where the reference stops at the first ``isFinalResult`` hit.
+
+    Shape at scale: every shipped relation is ``distinct(interface vars)``
+    — bounded by distinct interface-value combinations, not by match
+    multiplicity; patterns private vars never enter a shuffle. Returns one
+    row (ask=true) or zero rows, the same shape as plans.bgp.ask.
+    """
+    from gstored_spark.plans.bgp import _pattern_df, greedy_order
+
+    bag = _local_bag(artifact).select("subj", "pred", "obj")
+    var_count: dict[str, int] = defaultdict(int)
+    for p in patterns:
+        for v in p.vars():
+            var_count[v] += 1
+
+    acc, acc_vars = None, set()
+    nonempty_probes = []
+    for idx in greedy_order(patterns):
+        pdf, pvars = _pattern_df(bag, patterns[idx], idx)
+        interface = {v for v in pvars if var_count[v] > 1}
+        if interface:
+            # the pattern's LEC feature: interface projection, deduped
+            feat = pdf.select(*[v[1:] for v in sorted(interface)]).distinct()
+        else:
+            # no shared vars: the pattern only contributes an existence bit
+            nonempty_probes.append(pdf.limit(1).select(F.lit(1).alias(f"_nz_{idx}")))
+            continue
+        if acc is None:
+            acc, acc_vars = feat, interface
+            continue
+        shared = [v[1:] for v in (acc_vars & interface)]
+        acc = acc.join(feat, shared, "inner") if shared else acc.crossJoin(feat)
+        acc_vars |= interface
+    for probe in nonempty_probes:
+        acc = probe if acc is None else acc.crossJoin(probe)
+    return acc.limit(1).select(F.lit(True).alias("ask"))
+
+
+def eval_group_partitioned(artifact, g) -> DataFrame:
+    """Group-graph-pattern algebra where every LEAF BGP is answered by the
+    PE-and-assembly matcher (match_partitioned) instead of a flat triple
+    view — OPTIONAL/UNION/MINUS/FILTER compose over assembled local-match
+    sets with the same TempResult combinators the reference's stack machine
+    applies (GeneralEvaluation.cpp:2067-2288: doOptional 1217-1269, doUnion
+    1202-1216, doMinus 1270-1307). The distributed lifecycle
+    (gqueryD.cpp:405-440) evaluates leaf BGPs per fragment and assembles;
+    group operators then act on assembled relations at the master — which
+    is exactly a left_outer/union/left_anti between two assembled
+    DataFrames here. Result-equal to eval_group over the flat view
+    (asserted in tests and the bgp_optional_assembly driver oracle)."""
+    from gstored_spark.plans.bgp import eval_group
+
+    return eval_group(
+        None, g, bgp_eval=lambda pats: match_partitioned(artifact, pats)
+    )
 
 
 def match_with_signatures(

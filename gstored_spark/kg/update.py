@@ -38,15 +38,17 @@ from gstored_spark.kg.ids import LITERAL_FIRST_ID, assign_dense_ids
 from gstored_spark.kg.partition import internal_vertices, route_triples
 
 
-def extend_dictionaries(
+def dictionary_deltas(
     new_triples: DataFrame,
     entity_dict: DataFrame,
     literal_dict: DataFrame,
     pred_dict: DataFrame,
-):
-    """Allocate IDs for unseen terms after each namespace's current max
-    (append-only; the reference's free-list reuse is a mutable-store
-    concern that snapshots obviate)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The NEW dictionary rows a triple batch requires — unseen terms with
+    IDs allocated after each namespace's current max (append-only; the
+    reference's free-list reuse is a mutable-store concern that snapshots
+    obviate). Returned separately so artifact maintenance can APPEND just
+    these rows to the on-disk dictionaries."""
     spark = new_triples.sparkSession
 
     def next_id(d: DataFrame, floor: int) -> int:
@@ -65,29 +67,36 @@ def extend_dictionaries(
         .distinct()
         .join(literal_dict.select("term"), "term", "left_anti")
     )
-    entity_dict2 = entity_dict.unionByName(
-        assign_dense_ids(new_entities, "term", next_id(entity_dict, 0))
-    )
-    literal_dict2 = literal_dict.unionByName(
-        assign_dense_ids(new_literals, "term", next_id(literal_dict, LITERAL_FIRST_ID))
-    )
+    d_entity = assign_dense_ids(new_entities, "term", next_id(entity_dict, 0))
+    d_literal = assign_dense_ids(new_literals, "term", next_id(literal_dict, LITERAL_FIRST_ID))
     known = {r["term"] for r in pred_dict.collect()}
     new_preds = sorted(
         r["term"]
         for r in new_triples.select(F.col("pred").alias("term")).distinct().collect()
         if r["term"] not in known
     )
-    if new_preds:
-        base = pred_dict.count()
-        pred_dict2 = pred_dict.unionByName(
-            spark.createDataFrame(
-                [(t, base + i) for i, t in enumerate(new_preds)],
-                schema="term string, id long",
-            )
-        )
-    else:
-        pred_dict2 = pred_dict
-    return entity_dict2, literal_dict2, pred_dict2
+    base = pred_dict.count() if new_preds else 0
+    d_pred = spark.createDataFrame(
+        [(t, base + i) for i, t in enumerate(new_preds)],
+        schema="term string, id long",
+    )
+    return d_entity, d_literal, d_pred
+
+
+def extend_dictionaries(
+    new_triples: DataFrame,
+    entity_dict: DataFrame,
+    literal_dict: DataFrame,
+    pred_dict: DataFrame,
+):
+    """Dictionaries extended with IDs for unseen terms (dictionary_deltas
+    unioned onto the existing tables)."""
+    d_e, d_l, d_p = dictionary_deltas(new_triples, entity_dict, literal_dict, pred_dict)
+    return (
+        entity_dict.unionByName(d_e),
+        literal_dict.unionByName(d_l),
+        pred_dict.unionByName(d_p),
+    )
 
 
 def apply_updates(
@@ -247,3 +256,328 @@ def incremental_adjacency(
     rebuilt = adjacency(routed, internal)
     kept = old_adjacency.join(F.broadcast(parts), "part", "left_anti")
     return kept.unionByName(rebuilt)
+
+
+def update_artifact(
+    spark,
+    art_dir: str,
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+):
+    """In-place incremental maintenance of an EMITTED artifact — the Spark
+    analog of the reference updating its 12+6 B+-trees and VS*-tree per
+    batch (Database::insert/remove, Database.cpp:3038-3200): every derived
+    table is patched via DYNAMIC PARTITION OVERWRITE of exactly the
+    directories the change set touches. NO step scans the whole store —
+    every read is directory-pruned to affected ``part=`` / ``pbucket=`` /
+    ``(part=, bucket=)`` dirs, so cost is O(affected dirs + change set),
+    the same contract as the reference touching only the tree paths of the
+    changed keys.
+
+    ``inserts``: string triples (subj, pred, obj, o_is_entity);
+    ``deletes``: string triples (subj, pred, obj) — unknown terms match
+    nothing, exactly like the reference's existence-checked remove.
+
+    Per table:
+      - dictionaries: the new rows APPEND (dictionary_deltas);
+      - adjacency/: each affected partition's local triple bag is
+        RECONSTITUTED from its own out-lists (explode is exact: a
+        partition's routed set == union of its vertices' out-edges), the
+        change applied, blocks regrouped — affected ``part=`` dirs only;
+      - triples_by_pred/: affected ``pbucket=`` dirs re-merged;
+      - vertex_preds/: derived from the rebuilt adjacency (same dirs);
+      - signatures/: changed-endpoint vertices get their signatures
+        recomputed from their FULL new neighborhoods (OR is not
+        invertible, so deletes recompute rather than clear bits) — read
+        from the rebuilt owner partitions, never a full scan; their
+        ``part=/bucket=`` dirs are rewritten with unaffected co-resident
+        rows carried over;
+      - bucket_sig / part_sig / pred_stats / meta: small tables (<= parts
+        x buckets rows / one row per predicate) — merged and rewritten.
+
+    Requires a hash-routed, format>=3 artifact (raises otherwise). NOT
+    atomic across tables — a production deployment wraps this in a
+    table-format snapshot commit (Iceberg), the same way the pipeline's
+    StageStore snapshots stages; the reference's in-place tree updates are
+    equally non-atomic. All rebuilt data is materialized (eager
+    localCheckpoint) BEFORE the first overwrite, so no write clobbers a
+    directory a pending read still needs. Returns a fresh GraphArtifact."""
+    from gstored_spark.kg.blocks import (
+        GraphArtifact,
+        predicate_bucketed_triples,
+        predicate_stats,
+        sig_or,
+        vertex_predicate_sets,
+        vertex_signatures_from_ids,
+    )
+    from gstored_spark.kg.ids import encode_triples
+    from gstored_spark.kg.partition import owner
+
+    art = GraphArtifact(spark, art_dir)
+    if not art.hash_routed:
+        raise ValueError(
+            "update_artifact requires a hash-routed artifact: with a partial "
+            "partition map, changed vertices have no unique owner partition"
+        )
+    if art.meta.get("format", 0) < 3 or art.triples_by_pred is None:
+        raise ValueError(
+            "update_artifact requires a format>=3 artifact (vertex_preds "
+            "partitioned by part, triples_by_pred present) — rewrite with "
+            "write_artifact first"
+        )
+    n_parts = int(art.meta["n_parts"])
+    pred_k = art.pred_buckets
+    sig_b = int(art.meta["sig_buckets"])
+    tbp = art.triples_by_pred
+
+    # -- dictionary deltas (appended later; used for encoding now) --------
+    empty = spark.createDataFrame([], "term string, id long")
+    if inserts is not None:
+        d_e, d_l, d_p = dictionary_deltas(
+            inserts, art.entity_dict, art.literal_dict, art.pred_dict
+        )
+        d_e, d_l, d_p = (d.localCheckpoint() for d in (d_e, d_l, d_p))
+    else:
+        d_e = d_l = d_p = empty
+    entity2 = art.entity_dict.unionByName(d_e)
+    literal2 = art.literal_dict.unionByName(d_l)
+    pred2 = art.pred_dict.unionByName(d_p)
+
+    del_ids = None
+    if deletes is not None:
+        dd = deletes.withColumn("o_is_entity", F.lit(True))  # recomputed below
+        del_ids = (
+            encode_triples(dd, art.entity_dict, art.literal_dict, art.pred_dict)
+            .withColumn("o_is_entity", F.col("o") < LITERAL_FIRST_ID)
+            .localCheckpoint()
+        )
+    ins_ids = None
+    if inserts is not None:
+        raw = encode_triples(inserts, entity2, literal2, pred2).dropDuplicates(
+            ["s", "p", "o"]
+        )
+        # dedupe against the EXISTING bag, scoped to the inserts' own
+        # pbucket dirs (re-inserting a present triple is a no-op)
+        ins_pb = [
+            r["pb"] for r in raw.select(
+                F.pmod(F.col("p"), F.lit(pred_k)).cast("int").alias("pb")
+            ).distinct().collect()
+        ]
+        scope = tbp.filter(F.col("pbucket").isin(ins_pb)).select("s", "p", "o")
+        ins_ids = raw.join(scope, ["s", "p", "o"], "left_anti").localCheckpoint()
+    changed = None
+    for c in (ins_ids, del_ids):
+        if c is not None:
+            changed = c if changed is None else changed.unionByName(c)
+    if changed is None:
+        return art  # nothing to do
+
+    def _apply(bag: DataFrame) -> DataFrame:
+        """change applied to a (s,p,o,o_is_entity) slice; del_ids/ins_ids
+        are change-sized, so the anti-join broadcasts."""
+        out = bag
+        if del_ids is not None:
+            out = out.join(
+                F.broadcast(del_ids.select("s", "p", "o")), ["s", "p", "o"],
+                "left_anti",
+            )
+        return out
+
+    # -- 1. adjacency: rebuild affected part= dirs from their own blocks --
+    parts = affected_partitions(changed, n_parts).localCheckpoint()
+    part_list = sorted(r["part"] for r in parts.collect())
+    adj_aff = art.adjacency.filter(F.col("part").isin(part_list))
+    old_nv_aff = adj_aff.filter("is_internal").count()
+    # a partition's routed triple set == explode of its out-lists (owner
+    # AND crossing rows both land in the subject row's out list there)
+    routed_old = adj_aff.select(
+        "part", F.col("v").alias("s"), F.explode("out").alias("e")
+    ).select(
+        "part", "s", F.col("e.p").alias("p"), F.col("e.o").alias("o"),
+        (F.col("e.o") < LITERAL_FIRST_ID).alias("o_is_entity"),
+    )
+    routed_new = _apply(routed_old)
+    if ins_ids is not None:
+        routed_ins = route_triples(ins_ids, n_parts).join(
+            F.broadcast(parts), "part", "leftsemi"
+        ).select("part", "s", "p", "o", "o_is_entity")
+        routed_new = routed_new.unionByName(routed_ins)
+    internal = internal_vertices(routed_new, n_parts)
+    rebuilt_adj = adjacency(routed_new, internal).localCheckpoint()
+    new_nv_aff = rebuilt_adj.filter("is_internal").count()
+
+    # -- 2. predicate-first table: re-merge affected pbucket= dirs --------
+    pb_list = sorted({
+        r["pb"] for r in changed.select(
+            F.pmod(F.col("p"), F.lit(pred_k)).cast("int").alias("pb")
+        ).distinct().collect()
+    })
+    tp_scope = _apply(
+        tbp.filter(F.col("pbucket").isin(pb_list)).select("s", "p", "o", "o_is_entity")
+    )
+    if ins_ids is not None:
+        tp_scope = tp_scope.unionByName(ins_ids.select("s", "p", "o", "o_is_entity"))
+    tp_rows = (
+        predicate_bucketed_triples(tp_scope, pred_k)
+        .repartition(F.col("pbucket"), F.col("s"))
+        .sortWithinPartitions("p", "s", "o")
+        .localCheckpoint()
+    )
+
+    # -- 3. vertex_preds: derived from the rebuilt partitions -------------
+    vp_rows = vertex_predicate_sets(
+        rebuilt_adj.filter("is_internal")
+    ).localCheckpoint()
+
+    # -- 4. signatures of vertices incident to the change -----------------
+    aff_v = (
+        changed.select(F.col("s").alias("v"))
+        .unionAll(changed.filter("o_is_entity").select(F.col("o").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _incident(adj_df):
+        """Full neighborhood of every affected vertex, read from its OWNER
+        partition's blocks (owners of changed endpoints are affected by
+        construction): out-list = its subject triples, in-list = its
+        entity-object triples. Duplicates across the union are harmless —
+        the signature aggregation is an idempotent OR."""
+        own = adj_df.filter("is_internal").join(aff_v, "v", "leftsemi")
+        out = own.select(
+            F.col("v").alias("s"), F.explode("out").alias("e")
+        ).select(
+            "s", F.col("e.p").alias("p"), F.col("e.o").alias("o"),
+            (F.col("e.o") < LITERAL_FIRST_ID).alias("o_is_entity"),
+        )
+        inn = own.select(
+            F.col("v").alias("o"), F.explode("in").alias("e")
+        ).select(
+            F.col("e.s").alias("s"), F.col("e.p").alias("p"), "o",
+            F.lit(True).alias("o_is_entity"),
+        )
+        return out.unionByName(inn)
+
+    def _placements(inc):
+        """Every partition holding a signature row for an affected vertex —
+        the reference replicates a vertex's signature into each partition
+        the vertex APPEARS in (partitioned_signatures joins ALL internal
+        rows, replicas included), so a changed signature must be rewritten
+        in owner + every crossing placement: owner(v) plus owner(other
+        entity endpoint) of each incident edge."""
+        self_p = aff_v.select("v", owner(F.col("v"), n_parts).alias("part"))
+        via_obj = inc.filter("o_is_entity").join(
+            aff_v.withColumnRenamed("v", "s"), "s", "leftsemi"
+        ).select(F.col("s").alias("v"), owner(F.col("o"), n_parts).alias("part"))
+        via_sub = inc.join(
+            aff_v.withColumnRenamed("v", "o"), "o", "leftsemi"
+        ).select(F.col("o").alias("v"), owner(F.col("s"), n_parts).alias("part"))
+        return self_p.unionAll(via_obj).unionAll(via_sub).distinct()
+
+    incident_new = _incident(rebuilt_adj)
+    incident_old = _incident(adj_aff)
+    placements_new = _placements(incident_new).localCheckpoint()
+    placements_all = (
+        placements_new.unionAll(_placements(incident_old)).distinct()
+    )
+    new_sigs = (
+        vertex_signatures_from_ids(incident_new, entity2, literal2)
+        .join(aff_v, "v", "leftsemi")
+        .join(placements_new, "v")  # one row per (placement part, v)
+        .withColumn("bucket", F.pmod(F.xxhash64("v"), F.lit(sig_b)).cast("int"))
+    )
+    sig_dirs = [
+        (r["part"], r["bucket"])
+        for r in placements_all.select(
+            "part", F.pmod(F.xxhash64("v"), F.lit(sig_b)).cast("int").alias("bucket"),
+        ).distinct().collect()
+    ]
+    dir_cond = F.lit(False)
+    for pt, bk in sig_dirs:
+        dir_cond = dir_cond | ((F.col("part") == pt) & (F.col("bucket") == bk))
+    carried = art.signatures.filter(dir_cond).join(aff_v, "v", "left_anti")
+    sig_rows = carried.select("v", "sig", "part", "bucket").unionByName(
+        new_sigs.select("v", "sig", "part", "bucket")
+    ).localCheckpoint()
+
+    # -- 5. bucket_sig / part_sig: small OR-tables, merged ----------------
+    new_bucket_rows = sig_or(sig_rows, ["part", "bucket"], "sig")
+    keys = spark.createDataFrame(sig_dirs, "part int, bucket int")
+    bucket_sig_rows = (
+        art.bucket_sig.join(keys, ["part", "bucket"], "left_anti")
+        .unionByName(new_bucket_rows)
+        .localCheckpoint()
+    )
+    part_sig_rows = sig_or(bucket_sig_rows, ["part"], "sig").localCheckpoint()
+
+    # -- 6. pred_stats: affected predicates, from the rebuilt buckets -----
+    pid_list = sorted({r["p"] for r in changed.select("p").distinct().collect()})
+    new_stats = predicate_stats(
+        tp_rows.filter(F.col("p").isin(pid_list)).select("s", "p", "o", "o_is_entity")
+    )
+    stats_rows = (
+        art.pred_stats.join(
+            spark.createDataFrame([(int(p),) for p in pid_list], "pid long"),
+            "pid", "left_anti",
+        ).unionByName(new_stats).localCheckpoint()
+    )
+
+    # -- write phase (everything above is materialized) -------------------
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt_adj.write.mode("overwrite").partitionBy("part").parquet(
+            f"{art_dir}/adjacency"
+        )
+        tp_rows.write.mode("overwrite").partitionBy("pbucket").parquet(
+            f"{art_dir}/triples_by_pred"
+        )
+        vp_rows.select("part", "v", "out_preds", "in_preds").write.mode(
+            "overwrite"
+        ).partitionBy("part").parquet(f"{art_dir}/vertex_preds")
+        sig_rows.write.mode("overwrite").partitionBy("part", "bucket").parquet(
+            f"{art_dir}/signatures"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data: an affected dir whose content became EMPTY (e.g. a predicate
+    # bucket losing its last triple) is never touched and would leak stale
+    # rows — drop those dirs explicitly
+    def _present(df, cols):
+        return {tuple(r[c] for c in cols) for r in df.select(*cols).distinct().collect()}
+
+    stale = [
+        f"{art_dir}/adjacency/part={pt}"
+        for pt in set(part_list) - {t[0] for t in _present(rebuilt_adj, ["part"])}
+    ] + [
+        f"{art_dir}/triples_by_pred/pbucket={pb}"
+        for pb in set(pb_list) - {t[0] for t in _present(tp_rows, ["pbucket"])}
+    ] + [
+        f"{art_dir}/vertex_preds/part={pt}"
+        for pt in set(part_list) - {t[0] for t in _present(vp_rows, ["part"])}
+    ] + [
+        f"{art_dir}/signatures/part={pt}/bucket={bk}"
+        for (pt, bk) in set(sig_dirs) - _present(sig_rows, ["part", "bucket"])
+    ]
+    if stale:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for path in stale:
+            jp = jvm.org.apache.hadoop.fs.Path(path)
+            jp.getFileSystem(hconf).delete(jp, True)
+    bucket_sig_rows.write.mode("overwrite").parquet(f"{art_dir}/bucket_sig")
+    part_sig_rows.write.mode("overwrite").parquet(f"{art_dir}/part_sig")
+    stats_rows.write.mode("overwrite").parquet(f"{art_dir}/pred_stats")
+    for d, name in ((d_e, "entity_dict"), (d_l, "literal_dict"), (d_p, "pred_dict")):
+        if d.take(1):
+            d.write.mode("append").parquet(f"{art_dir}/{name}")
+    meta = dict(art.meta)
+    n_vertices = int(meta.get("n_vertices", 0)) + (new_nv_aff - old_nv_aff)
+    spark.createDataFrame(
+        [(max(int(meta.get("format", 3)), 3), sig_b, pred_k, True,
+          n_vertices, n_parts)],
+        "format int, sig_buckets int, pred_buckets int, hash_routed boolean,"
+        " n_vertices long, n_parts int",
+    ).coalesce(1).write.mode("overwrite").json(f"{art_dir}/meta")
+    return GraphArtifact(spark, art_dir)

@@ -310,6 +310,7 @@ def eval_group(
     triples: DataFrame,
     g: GroupPattern,
     pred_counts: dict[str, int] | None = None,
+    bgp_eval=None,
 ) -> DataFrame:
     """Evaluate a GroupPattern to a bindings DataFrame.
 
@@ -319,11 +320,25 @@ def eval_group(
     (doUnion, 1202-1216 keeps per-VARSET groups; see below); FILTER applied
     as soon as its vars are covered (2780-2793). ``pred_counts`` (the p2num
     stats, predicate_counts()) flows into every match_bgp call so parsed
-    queries get cardinality-based join ordering too."""
+    queries get cardinality-based join ordering too.
+
+    ``bgp_eval``: optional leaf evaluator ``patterns -> bindings DF``
+    replacing the flat-view match_bgp — the group combinators are agnostic
+    to how leaf BGPs are answered, exactly like the reference's stack
+    machine over TempResults; kg.match.eval_group_partitioned plugs the
+    PE-and-assembly matcher in here."""
     def _pred(f):
         return F.expr(f) if isinstance(f, str) else f
 
-    acc = match_bgp(triples, g.patterns, pred_counts=pred_counts) if g.patterns else None
+    def _leaf(pats):
+        if bgp_eval is not None:
+            return bgp_eval(pats)
+        return match_bgp(triples, pats, pred_counts=pred_counts)
+
+    def _sub(grp):
+        return eval_group(triples, grp, pred_counts, bgp_eval)
+
+    acc = _leaf(g.patterns) if g.patterns else None
     if g.unions:
         # {P . {A} UNION {B}} = P ⋈ (A ∪ B) — but branches may bind
         # DIFFERENT var subsets, and a var one branch leaves unbound is
@@ -333,7 +348,7 @@ def eval_group(
         # branch's actually-bound shared vars, and the per-branch results
         # union (the reference's TempResult keeps per-varset groups and
         # joins each on its own bound vars for exactly this reason).
-        branches = [eval_group(triples, br, pred_counts) for br in g.unions]
+        branches = [_sub(br) for br in g.unions]
         if acc is None:
             u: DataFrame | None = None
             for b in branches:
@@ -349,7 +364,7 @@ def eval_group(
                 )
             acc = joined
     for j in g.joins:
-        jdf = eval_group(triples, j, pred_counts)
+        jdf = _sub(j)
         if acc is None:
             acc = jdf
         else:
@@ -359,11 +374,11 @@ def eval_group(
     for f in g.filters:
         acc = acc.filter(_pred(f))
     for opt in g.optionals:
-        o = eval_group(triples, opt, pred_counts)
+        o = _sub(opt)
         shared = [c for c in acc.columns if c in o.columns]
         acc = acc.join(o, shared, "left_outer") if shared else acc.crossJoin(o)
     for m in g.minus:
-        mdf = eval_group(triples, m, pred_counts)
+        mdf = _sub(m)
         shared = [c for c in acc.columns if c in mdf.columns]
         if shared:
             acc = acc.join(mdf.select(*shared).distinct(), shared, "left_anti")
@@ -371,12 +386,12 @@ def eval_group(
     # join (F7's leftsemi shape; the reference evaluates these as nested
     # pattern groups inside the filter tree, GeneralEvaluation.cpp:2257-2286)
     for e in g.exists:
-        edf = eval_group(triples, e, pred_counts)
+        edf = _sub(e)
         shared = [c for c in acc.columns if c in edf.columns]
         acc = acc.join(edf.select(*shared).distinct(), shared, "leftsemi") if shared \
             else acc.join(edf.limit(1), F.lit(True), "leftsemi")
     for e in g.not_exists:
-        edf = eval_group(triples, e, pred_counts)
+        edf = _sub(e)
         shared = [c for c in acc.columns if c in edf.columns]
         acc = acc.join(edf.select(*shared).distinct(), shared, "left_anti") if shared \
             else acc.join(edf.limit(1), F.lit(True), "left_anti")

@@ -196,6 +196,14 @@ def test_vertex_signatures_from_ids_bit_identical(spark, toy_artifact):
         ).collect()
     }
     assert new == old and len(new) > 0
+    # the pure-catalyst term-bits variant must be bit-identical too
+    col = {
+        r["v"]: tuple(r["sig"])
+        for r in B.vertex_signatures_from_ids(
+            id_triples, entity_dict, literal_dict, term_bits_impl="col"
+        ).collect()
+    }
+    assert col == old
 
 
 def test_blocks_match_id_mode_equals_string_mode(spark, toy_artifact):
@@ -286,3 +294,70 @@ def test_match_partitioned_assembly_parity(spark, toy_artifact):
            match_partitioned(art, chain, ["?x", "?y", "?z"]).collect()}
     # 12 cycle steps + special->a3->a4 + <p:knows>->a0->a1
     assert got == flat and len(flat) == 14
+
+
+def test_ask_partitioned_lecf(spark, toy_artifact):
+    """LEC-feature ASK (Util::HashLECFJoin semantics): true on satisfiable
+    chains/stars, false on unsatisfiable ones; feature projection must not
+    manufacture solutions (the cross-pattern constraints ride the
+    interface vars)."""
+    from gstored_spark.kg.match import ask_partitioned
+
+    triples, art = toy_artifact
+    chain = [
+        TriplePattern("?x", "<p:knows>", "?y"),
+        TriplePattern("?y", "<p:knows>", "?z"),
+    ]
+    assert ask_partitioned(art, chain).collect() == [(True,)]
+    # star with a rare predicate: only <ent:special> satisfies both
+    assert ask_partitioned(art, PATS).collect() == [(True,)]
+    # unsatisfiable: nothing has a <p:rare> out-edge from a <p:rare> target
+    no = [
+        TriplePattern("?x", "<p:rare>", "?y"),
+        TriplePattern("?y", "<p:rare>", "?z"),
+    ]
+    assert ask_partitioned(art, no).collect() == []
+    # disconnected groups (no shared vars): both nonempty -> true
+    disc = [
+        TriplePattern("?a", "<p:rare>", "?b"),
+        TriplePattern("?c", "<p:name>", "?d"),
+    ]
+    assert ask_partitioned(art, disc).collect() == [(True,)]
+    # disconnected with one empty side -> false
+    disc_no = [
+        TriplePattern("?a", "<p:rare>", "?b"),
+        TriplePattern("?c", "<p:none>", "?d"),
+    ]
+    assert ask_partitioned(art, disc_no).collect() == []
+
+
+def test_eval_group_partitioned_parity(spark, toy_artifact):
+    """Group combinators (OPTIONAL/UNION/MINUS/FILTER) over PE-assembled
+    leaf BGPs must equal the flat-view eval_group — the TempResult
+    combinators are agnostic to how leaves were answered."""
+    from gstored_spark.kg.match import eval_group_partitioned
+    from gstored_spark.plans.bgp import GroupPattern, eval_group
+
+    triples, art = toy_artifact
+    shapes = [
+        GroupPattern(  # OPTIONAL: some <p:knows> subjects lack <p:name>
+            patterns=[TriplePattern("?x", "<p:knows>", "?y")],
+            optionals=[GroupPattern(patterns=[TriplePattern("?x", "<p:name>", "?n")])],
+        ),
+        GroupPattern(  # UNION of different predicates
+            patterns=[TriplePattern("?x", "<p:knows>", "?y")],
+            unions=[
+                GroupPattern(patterns=[TriplePattern("?x", "<p:rare>", "?z")]),
+                GroupPattern(patterns=[TriplePattern("?x", "<p:name>", "?z")]),
+            ],
+        ),
+        GroupPattern(  # MINUS + FILTER
+            patterns=[TriplePattern("?x", "<p:knows>", "?y")],
+            minus=[GroupPattern(patterns=[TriplePattern("?x", "<p:rare>", "?w")])],
+            filters=["x != y"],
+        ),
+    ]
+    for g in shapes:
+        flat = {tuple(r) for r in eval_group(triples, g).collect()}
+        got = {tuple(r) for r in eval_group_partitioned(art, g).collect()}
+        assert got == flat and len(flat) > 0

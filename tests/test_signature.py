@@ -102,3 +102,27 @@ def test_partition_or_aggregate_covers_members(spark):
     rdf = spark.createDataFrame([(root,)], ["root"])
     for _, sig in sigs:
         assert rdf.select(S.covers(F.col("root"), F.lit(sig))).first()[0]
+
+
+def test_term_bits_col_matches_pure(spark):
+    """The catalyst higher-order term-bits expression (term_str_bits_col)
+    is bit-exact to str_bits on ASCII, multi-byte UTF-8 (signed-char
+    promotion!), literals, vars, and the empty string."""
+    import random
+    import string
+
+    rng = random.Random(7)
+    cases = ["<ent:a1>", '"special one"@en', "?v", "", "x" * 300]
+    alphabet = string.ascii_letters + string.digits + "é中ÿ߿:<>\"@^#/._-"
+    for _ in range(60):
+        n = rng.randrange(0, 40)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    df = spark.createDataFrame([(c,) for c in cases], ["term"])
+    got = {
+        r["term"]: list(r["bits"])
+        for r in df.select(
+            "term", S.term_str_bits_col(F.col("term")).alias("bits")
+        ).collect()
+    }
+    for c in cases:
+        assert got[c] == S.str_bits(c), repr(c)
