@@ -91,3 +91,47 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+TRIPLE_CHANGE_SCHEMA = (
+    "subj string, pred string, obj string, o_is_entity boolean, op string"
+)
+
+
+def start_artifact_maintenance(
+    spark: SparkSession, art_dir: str, input_dir: str, checkpoint_dir: str
+):
+    """Continuous IN-PLACE store maintenance: a file-source stream of triple
+    change batches (``op`` = 'insert' | 'delete', TRIPLE_CHANGE_SCHEMA)
+    applied to an emitted artifact with ``kg.update.update_artifact`` per
+    micro-batch — the streaming twin of the reference's batch INSERT/DELETE
+    over all its indexes (Database.cpp:3038-3200), with each batch patching
+    only the directories it touches.
+
+    Delivery: foreachBatch + checkpoint is at-least-once, and
+    update_artifact is IDEMPOTENT (inserts dedupe against the stored bag,
+    deletes are existence-checked anti-joins), so a replayed batch is a
+    no-op — effectively exactly-once against the store."""
+    from gstored_spark.kg.update import update_artifact
+
+    stream = spark.readStream.schema(TRIPLE_CHANGE_SCHEMA).parquet(input_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ins = batch_df.filter(F.col("op") == "insert").select(
+            "subj", "pred", "obj", "o_is_entity"
+        )
+        dele = batch_df.filter(F.col("op") == "delete").select(
+            "subj", "pred", "obj"
+        )
+        update_artifact(
+            spark, art_dir,
+            inserts=ins if ins.take(1) else None,
+            deletes=dele if dele.take(1) else None,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
