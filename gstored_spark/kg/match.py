@@ -275,27 +275,46 @@ def match_over_blocks(
     id_mode = decode == "ids"
 
     def _sig_worth_it(v: str) -> bool:
-        """Prefilter pays only between two regimes (pred_stats-informed):
+        """Prefilter pays only between three regimes (pred_stats-informed):
         leaves already tiny -> the semi-join costs more than it saves;
-        candidate estimate ~ all vertices -> the scan prunes nothing."""
+        candidate estimate ~ all vertices -> the scan prunes nothing;
+        otherwise weigh ESTIMATED ROWS PRUNED from the incident leaves
+        against the cost of the signature scan (~one row per vertex). A
+        constant neighbor contributes string bits the stats cannot model —
+        genuinely selective, always worth it (past the tiny-leaf floor)."""
         if stats is None:
             return True
-        leaf_sizes, cand_ests = [], []
+        leaves, cand_ests, has_const = [], [], False
         for p in patterns:
             if p.s != "?" + v and p.o != "?" + v:
                 continue
             if is_var(p.p):
                 return True  # no stats for a var predicate: keep prefilter
             n, n_s, n_o = stats.get(pred_ids.get(p.p), (0, None, None))
-            leaf_sizes.append(n)
-            cand_ests.append(n_s if p.s == "?" + v else n_o)
-        if leaf_sizes and min(leaf_sizes) <= sig_skip_small:
+            if p.s == "?" + v:
+                d = n_s
+                has_const = has_const or not is_var(p.o)
+            else:
+                d = n_o
+                has_const = has_const or not is_var(p.s)
+            leaves.append((n, d))
+            cand_ests.append(d)
+        if leaves and min(n for n, _ in leaves) <= sig_skip_small:
             return False
+        if has_const:
+            return True
         nv = artifact.meta.get("n_vertices")
         ests = [e for e in cand_ests if e is not None]
-        if nv and ests and min(ests) >= sig_skip_frac * nv:
+        if not nv or not ests:
+            return True
+        est = min(ests)  # candidate upper bound: smallest incident fanout
+        if est >= sig_skip_frac * nv:
             return False
-        return True
+        # benefit = rows the candidate semi-join removes from each leaf,
+        # assuming endpoint values are uniformly hit (Join.cpp:71-77 uses
+        # the same per-predicate counts for its score)
+        benefit = sum(n * max(0.0, 1.0 - est / d) for n, d in leaves if d)
+        return benefit >= nv
 
     sig_vars = {
         v: qsig
@@ -327,6 +346,34 @@ def match_over_blocks(
             pid = pred_ids.get(p.p)
             if pid is not None and v not in candidates:
                 sat_req.setdefault(v, set()).add(pid)
+
+    def _sat_worth_it(v: str, pids: set[int]) -> bool:
+        """The satellite candidate set is `subjects carrying ALL of pids`.
+        A leaf `?v <q> ?o` that itself contributed q to pids is already
+        exactly that restriction for q — a requirement set that only ever
+        meets its own contributing leaves is a TAUTOLOGY (pure cost). It
+        is informative when |pids| >= 2 (each leaf pruned by the others'
+        predicates) or when v is bound by some non-contributing leaf
+        (object position / var predicate). Past that, skip when the stats
+        say the candidate set is ~all subjects anyway (the round-3
+        profile: requiring a predicate 87% of vertices carry filtered
+        nothing and cost a full vertex_preds scan)."""
+        contrib = sum(
+            1 for p in patterns
+            if p.s == "?" + v and not is_var(p.p) and pred_ids.get(p.p) in pids
+        )
+        binding = sum(1 for p in patterns if "?" + v in (p.s, p.o))
+        if len(pids) < 2 and binding <= contrib:
+            return False
+        if stats is not None:
+            nv = artifact.meta.get("n_vertices")
+            ests = [stats.get(pid, (0, None, None))[1] for pid in pids]
+            ests = [e for e in ests if e is not None]
+            if nv and ests and min(ests) >= sig_skip_frac * nv:
+                return False
+        return True
+
+    sat_req = {v: pids for v, pids in sat_req.items() if _sat_worth_it(v, pids)}
     if sat_req:
         psets = artifact.vertex_preds
         if psets is None:

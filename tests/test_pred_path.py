@@ -122,15 +122,65 @@ def test_routing_matches_flat_all_modes(spark, artifact):
 
 def test_satellite_prefilter_reads_persisted_sets(spark, artifact):
     """F4 candidates must come from the PERSISTED vertex_preds table
-    (KVstore.h:265-293 s2p), not a per-query derivation over adjacency."""
+    (KVstore.h:265-293 s2p), not a per-query derivation over adjacency.
+    The shape requires TWO out-predicates of ?x so the requirement set is
+    informative (each leaf pruned by the other's predicate)."""
     triples, art = artifact
     assert art.vertex_preds is not None
-    pats = [TriplePattern("?x", "<p:rare>", "?y")]
-    plan = _fmt_plan(match_over_blocks(art, pats, ["?x", "?y"]))
+    pats = [
+        TriplePattern("?x", "<p:rare>", "?y"),
+        TriplePattern("?x", "<p:knows>", "?z"),
+    ]
+    plan = _fmt_plan(match_over_blocks(art, pats, ["?x", "?y", "?z"]))
     assert "vertex_preds" in plan
     assert "/adjacency" not in plan
+    got = {tuple(r) for r in
+           match_over_blocks(art, pats, ["?x", "?y", "?z"]).collect()}
+    assert got == {("<ent:special>", "<ent:a0>", "<ent:a3>")}
+
+
+def test_satellite_prefilter_skips_tautology(spark, artifact):
+    """A single-pattern requirement set {q} can only meet its own leaf
+    `?x <q> ?y` — the semi-join is a no-op by construction and must be
+    SKIPPED (no vertex_preds scan in the plan), results unchanged."""
+    triples, art = artifact
+    pats = [TriplePattern("?x", "<p:rare>", "?y")]
+    plan = _fmt_plan(match_over_blocks(art, pats, ["?x", "?y"]))
+    assert "vertex_preds" not in plan
     got = {tuple(r) for r in match_over_blocks(art, pats, ["?x", "?y"]).collect()}
     assert got == {("<ent:special>", "<ent:a0>")}
+
+
+def test_sig_prefilter_selectivity_gate(spark, artifact):
+    """pred_stats-informed signature gating: a var whose every incident
+    predicate touches ~all vertices cannot be pruned by its signature —
+    the scan is SKIPPED (the round-3 profile measured it as pure cost on
+    exactly this shape); a constant neighbor contributes string bits the
+    stats cannot model and KEEPS the prefilter. Floor disabled
+    (sig_skip_small=0) to isolate the selectivity rules."""
+    triples, art = artifact
+    chain = [
+        TriplePattern("?x", "<p:knows>", "?y"),
+        TriplePattern("?y", "<p:knows>", "?z"),
+    ]
+    plan = _fmt_plan(
+        match_over_blocks(art, chain, ["?x", "?y", "?z"], sig_skip_small=0)
+    )
+    assert "signatures" not in plan
+    flat = {tuple(r) for r in match_bgp(triples, chain, ["?x", "?y", "?z"]).collect()}
+    got = {tuple(r) for r in
+           match_over_blocks(art, chain, ["?x", "?y", "?z"], sig_skip_small=0).collect()}
+    assert got == flat and len(flat) > 0
+
+    pats = [
+        TriplePattern("?x", "<p:knows>", "<ent:a3>"),
+        TriplePattern("?x", "<p:rare>", "?y"),
+    ]
+    plan2 = _fmt_plan(match_over_blocks(art, pats, ["?x", "?y"], sig_skip_small=0))
+    assert "signatures" in plan2
+    got2 = {tuple(r) for r in
+            match_over_blocks(art, pats, ["?x", "?y"], sig_skip_small=0).collect()}
+    assert got2 == {("<ent:special>", "<ent:a0>")}
 
 
 def test_ask_over_blocks(spark, artifact):
