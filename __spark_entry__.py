@@ -475,6 +475,26 @@ def _q_bgp_parsed(spark, sf):
     return run_sparql(_graph_triples(spark, sf), text)
 
 
+def _q_sparql_blocks(spark, sf):
+    """SPARQL *text* answered FROM THE EMITTED STORE — the complete gqueryD
+    lifecycle (Main/gqueryD.cpp:108-265: parse the query file, answer out
+    of the loaded partitioned store): recursive-descent parse -> store-
+    backed leaf matching (signature pruning, predicate-first pbucket
+    routing, persisted-p2num ordering) -> group algebra -> modifiers.
+    Same text and oracle as bgp_parsed, different physical source."""
+    from gstored_spark.plans.sparql import run_sparql_over_artifact
+
+    art = _graph_artifact(spark, sf)
+    text = """
+        SELECT DISTINCT ?c ?n WHERE {
+            ?o <placed_by> ?c .
+            ?c <in_nation> ?n .
+            FILTER (REGEX(?n, "nat:1.$") && ?c != ?n)
+        } ORDER BY ?c ?n LIMIT 100
+    """
+    return run_sparql_over_artifact(art, text)
+
+
 def _q_term_funcs(spark, sf):
     """RDF-term builtins (QueryTree.h:118-119, GeneralEvaluation.cpp:
     1535-1851): STR/LANG/DATATYPE/isIRI/isLITERAL/numeric extraction as pure
@@ -804,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_ask_lecf": _q_bgp_ask_lecf,
         "update_artifact_counts": _q_update_artifact,
         "bgp_parsed": _q_bgp_parsed,
+        "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
         "modify_where": _q_modify_where,
@@ -996,6 +1017,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, count(*) AS n FROM merged GROUP BY pred ORDER BY pred
         """,
         "bgp_parsed": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT DISTINCT t1.obj AS c, t2.obj AS n
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND regexp_matches(t2.obj, 'nat:1.$') AND t1.obj <> t2.obj
+            ORDER BY c, n LIMIT 100
+        """,
+        "sparql_blocks": f"""
             WITH g AS ({_GRAPH_SQL})
             SELECT DISTINCT t1.obj AS c, t2.obj AS n
             FROM g t1 JOIN g t2 ON t1.obj = t2.subj

@@ -387,6 +387,76 @@ class GraphArtifact:
             return {}
 
 
+def compact_artifact(
+    artifact,
+    out_dir: str,
+    pred_buckets: int = PRED_BUCKETS,
+    sig_bucket_target: int = SIG_BUCKET_TARGET_VERTICES,
+) -> "GraphArtifact":
+    """Full-store compaction — the VS*-tree rebalance / bulk-rebuild analog
+    after a history of in-place update batches (the reference splits
+    VS*-tree nodes as inserts land, VSTree/VSTree.cpp:371-440, and rebuilds
+    its trees wholesale on bulk load, Database.cpp:3038-3200).
+
+    Each ``update_artifact`` batch leaves one extra parquet file per
+    patched directory and keeps the signature-bucket count the store was
+    BORN with — after enough growth 16 buckets saturate exactly like an
+    unsplit tree node. Compaction rewrites the layout from the store's
+    current logical content: adjacency (the source of truth) re-shuffled
+    to one writer per part= directory, the predicate-first table and
+    per-vertex predicate sets re-derived, per-vertex signatures KEPT
+    (update_artifact already maintains them exactly — asserted against
+    full rebuilds in tests) but re-bucketed with a bucket count re-adapted
+    to the CURRENT per-partition vertex count, and fresh p2num/fanout
+    stats + meta.
+
+    Writes to a NEW directory: a live store cannot be overwritten while
+    its own tables are being read; callers swap directories afterwards
+    (the snapshot pattern the pipeline uses everywhere)."""
+    import os
+
+    from gstored_spark.kg.pipeline import PipelineResult
+
+    if os.path.abspath(out_dir) == os.path.abspath(artifact.dir):
+        raise ValueError("compact_artifact must write to a new directory")
+    spark = artifact.adjacency.sparkSession
+
+    if artifact.triples_by_pred is not None:
+        id_triples = artifact.triples_by_pred.select("s", "p", "o", "o_is_entity")
+    else:  # pre-format-2 store: reconstitute; literal ids have their own range
+        from gstored_spark.kg.ids import LITERAL_FIRST_ID
+
+        id_triples = triples_from_adjacency(artifact.adjacency).withColumn(
+            "o_is_entity", F.col("o") < F.lit(LITERAL_FIRST_ID)
+        )
+    internal = artifact.adjacency.select("part", "v", "is_internal")
+    # one vertex -> one global signature; placements replicate it, so any
+    # one row per v is the signature (dropDuplicates = one shuffle on v)
+    sigs = artifact.signatures.select("v", "sig").dropDuplicates(["v"])
+    res = PipelineResult(
+        triples=None,
+        entity_dict=artifact.entity_dict,
+        literal_dict=artifact.literal_dict,
+        pred_dict=artifact.pred_dict,
+        id_triples=id_triples,
+        routed=None,
+        internal=internal,
+        # hash-repartition on part -> every part= dir written by ONE task:
+        # K update batches' K+1 files collapse to one per directory
+        adjacency=artifact.adjacency.repartition(F.col("part")),
+        signatures=sigs,
+        part_sig=partition_signature(partitioned_signatures(sigs, internal)),
+    )
+    write_artifact(
+        res,
+        out_dir,
+        hash_routed=artifact.hash_routed,
+        pred_buckets=pred_buckets,
+        sig_bucket_target=sig_bucket_target,
+    )
+    return GraphArtifact(spark, out_dir)
+
+
 def triples_from_adjacency(adj: DataFrame) -> DataFrame:
     """Reconstitute the exact triple bag from adjacency blocks: explode the
     out-lists of INTERNAL vertices only — each triple's subject is internal

@@ -677,6 +677,36 @@ def run_sparql(triples: DataFrame, text: str, pred_counts="auto") -> DataFrame:
             predicate_counts(triples) if _needs_ordering(q.group) else None
         )
     df = eval_group(triples, q.group, pred_counts=pred_counts)
+    return _finish_query(q, df)
+
+
+def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> DataFrame:
+    """Parse and evaluate a SPARQL query AGAINST THE EMITTED STORE — the
+    complete gqueryD lifecycle from query text (Main/gqueryD.cpp:108-265
+    reads a query file, parses, and answers out of the loaded partitioned
+    store): every leaf BGP is matched by the store-backed matcher
+    (signature pruning, predicate-first pbucket routing, persisted-p2num
+    join ordering — kg.match.match_over_blocks), the group algebra and
+    solution modifiers run on top, and ASK ends in the LIMIT-1 probe.
+
+    ``assembled=True`` answers leaves by partial-evaluation-and-assembly
+    (kg.match.match_partitioned) instead — the PE lifecycle under the same
+    text front-end. Result-equal (asserted in tests)."""
+    from gstored_spark.kg.match import match_over_blocks, match_partitioned
+
+    q = parse_sparql(text)
+    if assembled:
+        ev = lambda pats: match_partitioned(artifact, pats)  # noqa: E731
+    else:
+        ev = lambda pats: match_over_blocks(artifact, pats)  # noqa: E731
+    df = eval_group(None, q.group, bgp_eval=ev)
+    return _finish_query(q, df)
+
+
+def _finish_query(q: "ParsedQuery", df: DataFrame) -> DataFrame:
+    """Solution modifiers shared by the flat-view and store-backed text
+    front-ends (GeneralEvaluation.cpp:2939-3010 applies the same modifier
+    tail regardless of how the group was evaluated)."""
     if q.form == "ask":
         return df.limit(1).select(F.lit(True).alias("ask"))
     proj = q.projection if q.projection is not None else _group_vars(q.group)

@@ -183,6 +183,36 @@ def test_sig_prefilter_selectivity_gate(spark, artifact):
     assert got2 == {("<ent:special>", "<ent:a0>")}
 
 
+def test_run_sparql_over_artifact(spark, artifact):
+    """SPARQL TEXT answered from the emitted store — the full gqueryD
+    lifecycle (Main/gqueryD.cpp:108-265: parse query file, answer out of
+    the loaded partitioned store) — result-equal to the flat-view text
+    front-end in both leaf-matcher modes, incl. OPTIONAL composition and
+    the ASK LIMIT-1 tail."""
+    from gstored_spark.plans.sparql import run_sparql, run_sparql_over_artifact
+
+    triples, art = artifact
+    text = """
+        SELECT ?x ?z ?w WHERE {
+            ?x <p:rare> ?y .
+            ?x <p:knows> ?z .
+            OPTIONAL { ?y <p:rare> ?w }
+        } ORDER BY ?x ?z
+    """
+    flat = [tuple(r) for r in run_sparql(triples, text).collect()]
+    for assembled in (False, True):
+        got = [
+            tuple(r)
+            for r in run_sparql_over_artifact(art, text, assembled=assembled).collect()
+        ]
+        assert got == flat, f"assembled={assembled}"
+    assert flat == [("<ent:special>", "<ent:a3>", None)]
+
+    hit = run_sparql_over_artifact(art, "ASK { ?x <p:rare> ?y }").collect()
+    assert [r["ask"] for r in hit] == [True]
+    assert run_sparql_over_artifact(art, "ASK { ?x <p:rare> <ent:a7> }").count() == 0
+
+
 def test_ask_over_blocks(spark, artifact):
     triples, art = artifact
     hit = ask_over_blocks(art, [TriplePattern("?x", "<p:rare>", "?y")])

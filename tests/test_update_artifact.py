@@ -215,3 +215,52 @@ def test_streaming_artifact_maintenance(spark, tmp_path_factory):
     q2.awaitTermination(120)
     art2 = B.GraphArtifact(spark, art_dir)
     assert art2.triples_by_pred.count() == n_before
+
+
+def test_compact_artifact(spark, updated_and_rebuilt, tmp_path_factory):
+    """Compaction (VS*-tree rebalance / bulk-rebuild analog): the updated
+    store rewritten to a fresh layout is LOGICALLY identical to a full
+    rebuild, collapses each adjacency part= dir to one file, re-adapts the
+    signature-bucket count to the current vertex count, and answers the
+    same queries."""
+    import glob
+
+    from gstored_spark.kg.match import match_over_blocks
+
+    art2, ref = updated_and_rebuilt
+    c_dir = str(tmp_path_factory.mktemp("art_compact"))
+    art3 = B.compact_artifact(art2, c_dir)
+
+    assert _adj_map(art3) == _adj_map(ref)
+    sig3 = {(r["part"], r["bucket"], r["v"]): tuple(r["sig"])
+            for r in art3.signatures.collect()}
+    sigr = {(r["part"], r["bucket"], r["v"]): tuple(r["sig"])
+            for r in ref.signatures.collect()}
+    assert sig3 == sigr
+    tb3 = sorted((r["pbucket"], r["s"], r["p"], r["o"])
+                 for r in art3.triples_by_pred.collect())
+    tbr = sorted((r["pbucket"], r["s"], r["p"], r["o"])
+                 for r in ref.triples_by_pred.collect())
+    assert tb3 == tbr
+
+    # one writer per part= dir: exactly one parquet file each
+    for d in glob.glob(f"{c_dir}/adjacency/part=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1, d
+    # bucket count re-derived from the CURRENT counts
+    assert art3.meta["sig_buckets"] == B.adaptive_sig_buckets(
+        art3.meta["n_vertices"], art3.meta["n_parts"]
+    )
+    assert art3.meta["n_vertices"] == ref.meta["n_vertices"]
+
+    got = {tuple(r) for r in match_over_blocks(
+        art3, [TriplePattern("?x", "<p:likes>", "?y")], ["?x", "?y"],
+        min_degree=1).collect()}
+    assert got == {("<ent:a0>", '"pizza"')}
+    assert match_over_blocks(
+        art3, [TriplePattern("?x", "<p:rare>", "?y")], ["?x"], min_degree=1
+    ).count() == 0
+
+    # guard: refuse in-place self-overwrite
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        B.compact_artifact(art2, art2.dir)
