@@ -283,53 +283,83 @@ def write_artifact(
     ``hash_routed=False`` records that a partial partition map routed the
     build (gloadD.cpp:148-152: unmapped vertices broadcast everywhere,
     internal NOWHERE) — matchers must then not rely on per-partition
-    internal flags for owner-unique semantics (see match_partitioned)."""
+    internal flags for owner-unique semantics (see match_partitioned).
+
+    The table writes are INDEPENDENT jobs given the result DataFrames, so
+    they are submitted from concurrent driver threads and the store build
+    costs the slowest chain, not the sum — a serial writer leaves most of
+    a many-core executor idle at every job barrier (the reference writes
+    serially because one B+-tree writer owns its store,
+    Database.cpp:1543-1615; parquet dirs have no such constraint)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = result.adjacency.sparkSession
-    result.adjacency.write.mode(mode).partitionBy("part").parquet(f"{out_dir}/adjacency")
 
-    # predicate-first access path: spread each pbucket over subject-hash
-    # tasks (a hot predicate must not serialize into one writer), sort so
-    # row-group (p, s) min/max stats are tight for the pushed filter
-    tp = predicate_bucketed_triples(result.id_triples, pred_buckets)
-    tp.repartition(F.col("pbucket"), F.col("s")).sortWithinPartitions(
-        "p", "s", "o"
-    ).write.mode(mode).partitionBy("pbucket").parquet(f"{out_dir}/triples_by_pred")
+    def w_adjacency():
+        result.adjacency.write.mode(mode).partitionBy("part").parquet(
+            f"{out_dir}/adjacency"
+        )
 
-    # persisted s2p/o2p (KVstore.h:265-293): the F4 satellite prefilter
-    # reads THIS small table instead of re-deriving predicate sets from the
-    # full adjacency store on every query; part= dirs let update_artifact
-    # patch exactly the partitions a change set touches (format 3)
-    vertex_predicate_sets(result.adjacency.filter("is_internal")).select(
-        "part", "v", "out_preds", "in_preds"
-    ).write.mode(mode).partitionBy("part").parquet(f"{out_dir}/vertex_preds")
+    def w_triples_by_pred():
+        # predicate-first access path: spread each pbucket over subject-hash
+        # tasks (a hot predicate must not serialize into one writer), sort so
+        # row-group (p, s) min/max stats are tight for the pushed filter
+        tp = predicate_bucketed_triples(result.id_triples, pred_buckets)
+        tp.repartition(F.col("pbucket"), F.col("s")).sortWithinPartitions(
+            "p", "s", "o"
+        ).write.mode(mode).partitionBy("pbucket").parquet(f"{out_dir}/triples_by_pred")
 
-    part_sigs = partitioned_signatures(result.signatures, result.internal)
+    def w_vertex_preds():
+        # persisted s2p/o2p (KVstore.h:265-293): the F4 satellite prefilter
+        # reads THIS small table instead of re-deriving predicate sets from
+        # the full adjacency store on every query; part= dirs let
+        # update_artifact patch exactly the partitions a change set touches
+        vertex_predicate_sets(result.adjacency.filter("is_internal")).select(
+            "part", "v", "out_preds", "in_preds"
+        ).write.mode(mode).partitionBy("part").parquet(f"{out_dir}/vertex_preds")
+
     # n_parts is a LAYOUT constant (owner() modulus): max(part)+1 over every
     # placed vertex — countDistinct over internal-only rows would undercount
     # when a partition happens to own no vertex, and update_artifact routes
     # changes with this modulus
-    counts = result.internal.agg(
-        F.count(F.when(F.col("is_internal"), 1)).alias("nv"),
-        (F.max("part") + 1).alias("np"),
-    ).collect()[0]
-    sig_buckets = adaptive_sig_buckets(counts["nv"], counts["np"], target=sig_bucket_target)
-    part_sigs = with_sig_buckets(part_sigs, sig_buckets)
-    # (part, bucket) are both partition directories: the matcher's
-    # disjunctive (part, bucket) filter prunes at file level on both
-    part_sigs.write.mode(mode).partitionBy("part", "bucket").parquet(
-        f"{out_dir}/signatures"
-    )
-    result.part_sig.write.mode(mode).parquet(f"{out_dir}/part_sig")
-    bucket_signature(part_sigs).write.mode(mode).parquet(f"{out_dir}/bucket_sig")
-    predicate_stats(result.id_triples).write.mode(mode).parquet(f"{out_dir}/pred_stats")
-    result.entity_dict.write.mode(mode).parquet(f"{out_dir}/entity_dict")
-    result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
-    result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
-    spark.createDataFrame(
-        [(3, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
-        "format int, sig_buckets int, pred_buckets int, hash_routed boolean,"
-        " n_vertices long, n_parts int",
-    ).coalesce(1).write.mode(mode).json(f"{out_dir}/meta")
+    def w_signature_tree():
+        counts = result.internal.agg(
+            F.count(F.when(F.col("is_internal"), 1)).alias("nv"),
+            (F.max("part") + 1).alias("np"),
+        ).collect()[0]
+        sig_buckets = adaptive_sig_buckets(
+            counts["nv"], counts["np"], target=sig_bucket_target
+        )
+        part_sigs = with_sig_buckets(
+            partitioned_signatures(result.signatures, result.internal), sig_buckets
+        )
+        # (part, bucket) are both partition directories: the matcher's
+        # disjunctive (part, bucket) filter prunes at file level on both
+        part_sigs.write.mode(mode).partitionBy("part", "bucket").parquet(
+            f"{out_dir}/signatures"
+        )
+        bucket_signature(part_sigs).write.mode(mode).parquet(f"{out_dir}/bucket_sig")
+        spark.createDataFrame(
+            [(3, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
+            "format int, sig_buckets int, pred_buckets int, hash_routed boolean,"
+            " n_vertices long, n_parts int",
+        ).coalesce(1).write.mode(mode).json(f"{out_dir}/meta")
+
+    def w_small_tables():
+        result.part_sig.write.mode(mode).parquet(f"{out_dir}/part_sig")
+        predicate_stats(result.id_triples).write.mode(mode).parquet(
+            f"{out_dir}/pred_stats"
+        )
+        result.entity_dict.write.mode(mode).parquet(f"{out_dir}/entity_dict")
+        result.literal_dict.write.mode(mode).parquet(f"{out_dir}/literal_dict")
+        result.pred_dict.write.mode(mode).parquet(f"{out_dir}/pred_dict")
+
+    chains = [w_adjacency, w_triples_by_pred, w_vertex_preds, w_signature_tree,
+              w_small_tables]
+    with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+        futures = [pool.submit(c) for c in chains]
+        for f in futures:
+            f.result()  # surface the first failure
 
 
 class GraphArtifact:
