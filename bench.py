@@ -48,6 +48,7 @@ QUERY_NAMES = [
     "bgp_ask_blocks",
     "bgp_star",
     "bgp_parsed",
+    "sparql_blocks",
     "modify_where",
     "term_funcs",
     "delete_where",
