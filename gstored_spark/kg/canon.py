@@ -149,17 +149,33 @@ def canonical_triples_from_mentions(
     object join). This halves the full-stream shuffle/join work vs the
     staged link-then-canonicalize path (which remains available for
     stage-by-stage inspection/tests)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from gstored_spark.kg.link import alias_dictionary, link_surfaces, maybe_broadcast
 
-    aliases = alias_dictionary(mentions)
-    surfaces = (
-        mentions.select(F.col("subj_mention").alias("surface"))
-        .unionAll(
-            mentions.filter("o_is_entity").select(F.col("obj_mention").alias("surface"))
+    # the alias dictionary and the distinct-surface table are independent
+    # aggregations over the same (checkpointed) mention stream —
+    # materialize them from concurrent driver threads so one shuffle's
+    # barrier hides under the other's compute
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_alias = pool.submit(
+            lambda: alias_dictionary(mentions).localCheckpoint(eager=True)
         )
-        .distinct()
-    )
-    links = link_surfaces(surfaces, aliases).localCheckpoint(eager=True)
+        f_surf = pool.submit(
+            lambda: mentions.select(F.col("subj_mention").alias("surface"))
+            .unionAll(
+                mentions.filter("o_is_entity").select(
+                    F.col("obj_mention").alias("surface")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        aliases = f_alias.result()
+        surfaces = f_surf.result()
+    links = link_surfaces(
+        surfaces, aliases, checkpoint_aliases=False
+    ).localCheckpoint(eager=True)
     # everything below the materialized link map works on surface-sized
     # relations — right-size its ~20 shuffle stages by measured row count
     # (the count is one fast job over the checkpointed blocks)

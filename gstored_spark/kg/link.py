@@ -93,16 +93,21 @@ def alias_dictionary(mention_triples: DataFrame) -> DataFrame:
     return stated.unionByName(identity).distinct()
 
 
-def link_surfaces(surfaces: DataFrame, aliases: DataFrame) -> DataFrame:
+def link_surfaces(
+    surfaces: DataFrame, aliases: DataFrame, checkpoint_aliases: bool = True
+) -> DataFrame:
     """surfaces(surface) -> (surface, linked): dictionary hit replaces the
     surface with its canonical name; misses keep the surface. Top-1 among
     competing candidates by (jaccard desc, canonical asc).
 
     The dictionary is materialized once (checkpoint), then broadcast only
     when actually small — the probe and the join both reuse the
-    materialized blocks instead of recomputing the distinct."""
+    materialized blocks instead of recomputing the distinct. Callers that
+    already materialized ``aliases`` pass ``checkpoint_aliases=False``."""
+    if checkpoint_aliases:
+        aliases = aliases.localCheckpoint(eager=True)
     s = surfaces.select("surface", light_norm(F.col("surface")).alias("alias"))
-    joined = s.join(maybe_broadcast(aliases.localCheckpoint(eager=True)), "alias", "left")
+    joined = s.join(maybe_broadcast(aliases), "alias", "left")
     scored = joined.withColumn(
         "jaccard",
         F.when(F.col("canonical").isNull(), F.lit(-1.0)).otherwise(

@@ -111,9 +111,24 @@ def run_pipeline(
         release_checkpoint(mentions)
 
     entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
-    entity_dict = stage("entity_dict", entity_dict)
-    literal_dict = stage("literal_dict", literal_dict)
-    pred_dict = stage("pred_dict", pred_dict)
+    if store is None:
+        # the three dictionary builds are independent shuffle chains over
+        # the checkpointed triples — materialize them concurrently (the
+        # StageStore path stays serial: concurrent appends to its _metrics
+        # dir would race the file-commit protocol)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=3) as _pool:
+            _fe = _pool.submit(stage, "entity_dict", entity_dict)
+            _fl = _pool.submit(stage, "literal_dict", literal_dict)
+            _fp = _pool.submit(stage, "pred_dict", pred_dict)
+            entity_dict, literal_dict, pred_dict = (
+                _fe.result(), _fl.result(), _fp.result(),
+            )
+    else:
+        entity_dict = stage("entity_dict", entity_dict)
+        literal_dict = stage("literal_dict", literal_dict)
+        pred_dict = stage("pred_dict", pred_dict)
 
     id_triples = stage(
         "id_triples", I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
