@@ -675,6 +675,28 @@ def _q_ann_srp(spark, sf):
     return topk_cosine_srp(e, q, "vec_id", "embedding", dim=64, k=5, planes=3)
 
 
+def _q_cosine_dedup(spark, sf):
+    """Embedding-cosine near-duplicate clustering: exact pair edge set at
+    tau=0.4 (the correctness baseline; margins around the threshold are
+    >=1e-4 on this data, float-safe across engines) -> connected
+    components -> representative per vector. The bucketed scale path
+    (cosine_near_dup: SRP buckets + multiprobe + verify) is asserted
+    against this exact pipeline in tests."""
+    from gstored_spark.operators.cc import components_with_singletons
+    from gstored_spark.operators.similarity import cosine_pairs_exact
+
+    e = _t(spark, sf, "embeddings")
+    pairs = cosine_pairs_exact(e, "vec_id", "embedding", 0.4)
+    comp = components_with_singletons(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        e.select(F.col("vec_id").alias("vertex")),
+    )
+    return comp.select(
+        F.col("vertex").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("rep"),
+    )
+
+
 def _q_lang_id(spark, sf):
     from gstored_spark.operators.textstats import lang_id
 
@@ -838,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         "ann_srp": _q_ann_srp,
+        "cosine_dedup": _q_cosine_dedup,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "token_count": _q_token_count,
@@ -1268,6 +1291,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.8
+        """,
+        "cosine_dedup": """
+            WITH RECURSIVE
+            e AS (
+                SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+            ),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            verts AS (SELECT CAST(vec_id AS BIGINT) AS v FROM embeddings),
+            reach(v, r) AS (
+                SELECT v, v FROM verts
+                UNION
+                SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.v
+            )
+            SELECT v AS vec_id, min(r) AS rep FROM reach GROUP BY v
         """,
         "ann_topk": """
             WITH ex AS (

@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "simhash",
     "ngram_jaccard",
     "ann_topk",
+    "cosine_dedup",
     "embed_text",
     "winnow",
     "lang_id",

@@ -174,3 +174,86 @@ def topk_cosine_srp(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank")
     )
+
+
+def cosine_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, tau: float
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= tau — the EXACT
+    embedding-near-duplicate edge set. Quadratic by design: this is the
+    correctness baseline the bucketed path (cosine_near_dup) is verified
+    against, same division of labor as topk_cosine vs topk_cosine_srp.
+    Scores rounded to 6 decimals so the threshold compare is stable across
+    engines. -> (a, b, score)."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= tau)
+        .select("a", "b", "score")
+    )
+
+
+def cosine_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tau: float,
+    planes: int = 8,
+    multiprobe: bool = True,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS, bucketed — the scale path
+    (never all-pairs): SRP-LSH buckets generate candidate pairs (one side
+    additionally probes every Hamming-1 bucket when ``multiprobe``, the
+    same probe schedule as topk_cosine_srp), exact cosine verifies each
+    candidate (precision 1 vs cosine_pairs_exact by construction; recall
+    is the SRP collision probability (1 - theta/pi)^planes boosted by the
+    probes), connected components clusters the surviving edge set, and the
+    representative is the component minimum — deterministic at any
+    parallelism. Buckets larger than ``max_bucket`` are dropped, the same
+    skew guard as lsh_candidate_pairs. -> (id_col, rep)."""
+    from gstored_spark.operators.cc import components_with_singletons
+
+    b = srp_buckets(df, id_col, vec_col, dim, planes)
+    left = b.select(F.col(id_col).alias("a"), "bucket")
+    if multiprobe:
+        powers = F.array(*[F.lit(1 << p) for p in range(planes)])
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(planes)),
+                lambda i: F.col("bucket").bitwiseXOR(F.element_at(powers, i)),
+            ),
+        )
+        left = b.select(
+            F.col(id_col).alias("a"), F.explode(probes).alias("bucket")
+        )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    right = (
+        b.join(counts, "bucket")
+        .filter(F.col("bsz") <= max_bucket)
+        .select(F.col(id_col).alias("b"), "bucket")
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    edges = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = components_with_singletons(
+        edges, df.select(F.col(id_col).alias("vertex"))
+    )
+    return comp.select(
+        F.col("vertex").alias(id_col), F.col("component").alias("rep")
+    )

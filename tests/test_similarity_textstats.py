@@ -147,3 +147,88 @@ def test_winnow_md5_udf_matches_sql_twin(spark):
     some_id, (n_fp, fp_hash) = next(iter(a.items()))
     text = docs.filter(F.col("doc_id") == some_id).first()["text"]
     assert TS.winnow_md5(text) == (n_fp, fp_hash)
+
+
+def test_cosine_pairs_exact_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(matn @ matn.T, 6)
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.4
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in SIM.cosine_pairs_exact(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_cosine_near_dup_planted(spark):
+    """Planted near-identical vectors (angle ~0) always share an SRP bucket
+    — the bucketed clusterer must recover exactly the planted clusters,
+    and every reported co-member must really clear tau (precision 1 by
+    construction: candidates are exact-verified)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # two planted dups of each: tiny perturbation, cosine ~ 0.999
+        for j in (1, 2):
+            d = v + rng.normal(scale=1e-3, size=16).astype("float32")
+            rows.append((100 * (j + 1) + i, [float(x) for x in d]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["rep"]
+        for r in SIM.cosine_near_dup(
+            df, "vec_id", "embedding", dim=16, tau=0.99, planes=6
+        ).collect()
+    }
+    assert len(got) == 60
+    for i in range(20):
+        assert got[i] == got[200 + i] == got[300 + i] == i
+    # distinct base vectors (random gaussians) must NOT merge
+    assert len(set(got.values())) == 20
+
+
+def test_cosine_near_dup_agrees_with_exact(spark, emb):
+    """On the driver's embeddings table the bucketed path must find the
+    SAME clusters as the exact pipeline at high tau (planted-duplicate
+    regime: near-identical vectors collide in every band), and never
+    invent an edge (precision 1 at any tau)."""
+    from gstored_spark.operators.cc import components_with_singletons
+
+    tau = 0.4
+    exact_pairs = SIM.cosine_pairs_exact(emb, "vec_id", "embedding", tau)
+    exact = {
+        r["vertex"]: r["component"]
+        for r in components_with_singletons(
+            exact_pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            emb.select(F.col("vec_id").alias("vertex")),
+        ).collect()
+    }
+    # tau=0.4 is far below the near-dup regime (angle ~66deg): SRP
+    # per-plane collision is only ~0.63, so the stress test runs SHALLOW
+    # buckets (2 planes + Hamming-1 probes cover ~0.86 of pairs; transitive
+    # closure through clusters recovers more)
+    got = {
+        r["vec_id"]: r["rep"]
+        for r in SIM.cosine_near_dup(
+            emb, "vec_id", "embedding", dim=64, tau=tau, planes=2
+        ).collect()
+    }
+    # precision: a bucketed merge implies an exact merge (clusters refine)
+    exact_cluster_of = exact
+    for vid, rep in got.items():
+        if rep != vid:
+            assert exact_cluster_of[vid] == exact_cluster_of[rep]
+    # recall at 4 planes + multiprobe on 64-dim: most exact merges found
+    merged_exact = sum(1 for v, r in exact.items() if r != v)
+    found = sum(1 for v, r in exact.items() if r != v and got[v] != v)
+    if merged_exact:
+        assert found / merged_exact >= 0.6
