@@ -153,3 +153,60 @@ def test_no_per_row_python_udf_lint():
         if re.search(r"\bF\.udf\(|\budf\(lambda|@udf\b", src):
             offenders.append(path)
     assert not offenders, f"row-at-a-time UDFs found: {offenders}"
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close by observed
+    in-batch gaps AND by event-time timeout (watermark passing last+gap),
+    and the closed set equals the batch gaps-and-islands rule."""
+    import pandas as pd
+
+    from gstored_spark.streaming.sessionize import stream_sessionize
+
+    in_dir = str(tmp_path / "ev_in")
+    ck_dir = str(tmp_path / "ev_ck")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, rows):
+        pdf = spark.createDataFrame(
+            [
+                (eid, (t0 + pd.Timedelta(seconds=s)).to_pydatetime(), uid)
+                for eid, s, uid in rows
+            ],
+            "event_id long, ts timestamp, user_id long",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # batch 1: user 1 session A (3 events, tight)
+    write_file("f1", [(1, 0, 1), (2, 60, 1), (3, 120, 1)])
+    # batch 2: user 1 session B starts after a 1-hour silence (closes A by
+    # in-batch... no — A's events are in a PRIOR batch; the 3600s gap is
+    # observed against the SAVED STATE), user 2 opens a session
+    write_file("f2", [(4, 3720, 1), (5, 3780, 1), (6, 3800, 2)])
+    # batch 3: a far-future sentinel advances the watermark past B's
+    # deadline -> user 1 session B emits via EventTimeTimeout
+    write_file("f3", [(7, 50_000, 3)])
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    q = (
+        stream_sessionize(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["n_events"], r["first_event"], r["last_event"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # closed: user1 A (events 1-3) by the gap between saved state and
+    # batch-2 events; user1 B (events 4-5) and user2 (event 6) by
+    # EventTimeTimeout once the sentinel advances the GLOBAL watermark
+    # past their deadlines; user3's sentinel session stays OPEN (the
+    # watermark never passes 50000+gap) and must NOT be emitted
+    assert got == {(1, 3, 1, 3), (1, 2, 4, 5), (2, 1, 6, 6)}
