@@ -61,9 +61,17 @@ def surface_components(
     (whitespace/punct variance); looser thresholds merge distinct entities
     whose names differ only in a numeric suffix (observed precision
     failure at 10^5-doc scale)."""
-    shingled = surfaces.select(
-        F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    # consumed twice (minhash chain + exact-Jaccard verify join) — without a
+    # checkpoint the interpreted shingle transform re-runs for each consumer
+    shingled = (
+        surfaces.select(
+            F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     # xxhash64 family (JVM longs): canonicalization needs LSH recall, not
     # the md5 family's DuckDB-oracle parity (kept for the dedup operators)
     sig = minhash_signature_fast(shingled, "surface", "shingles", k)

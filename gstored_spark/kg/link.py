@@ -20,7 +20,6 @@ No Python: Jaccard on char-3-gram arrays is JVM-side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from gstored_spark.operators.dedup import char_shingles
 from gstored_spark.sources.corpus import PRED_NAME
@@ -104,32 +103,44 @@ def link_surfaces(
     when actually small — the probe and the join both reuse the
     materialized blocks instead of recomputing the distinct. Callers that
     already materialized ``aliases`` pass ``checkpoint_aliases=False``."""
+    # shingles are computed ONCE PER SIDE before the join (once per distinct
+    # surface / once per dictionary alias), not four times per candidate
+    # pair inside the score expression — the interpreted higher-order
+    # transform is the expensive part of the whole stage
+    s = surfaces.select(
+        "surface",
+        light_norm(F.col("surface")).alias("alias"),
+        char_shingles(F.col("surface")).alias("sh_s"),
+    )
+    a = aliases.select(
+        "alias", "canonical", char_shingles(F.col("canonical")).alias("sh_c")
+    )
     if checkpoint_aliases:
-        aliases = aliases.localCheckpoint(eager=True)
-    s = surfaces.select("surface", light_norm(F.col("surface")).alias("alias"))
-    joined = s.join(maybe_broadcast(aliases), "alias", "left")
+        a = a.localCheckpoint(eager=True)
+    joined = s.join(maybe_broadcast(a), "alias", "left")
     scored = joined.withColumn(
         "jaccard",
         F.when(F.col("canonical").isNull(), F.lit(-1.0)).otherwise(
-            F.size(
-                F.array_intersect(
-                    char_shingles(F.col("surface")), char_shingles(F.col("canonical"))
-                )
-            )
-            / F.size(
-                F.array_union(
-                    char_shingles(F.col("surface")), char_shingles(F.col("canonical"))
-                )
-            )
+            F.size(F.array_intersect("sh_s", "sh_c"))
+            / F.size(F.array_union("sh_s", "sh_c"))
         ),
     )
-    w = Window.partitionBy("surface").orderBy(
-        F.col("jaccard").desc(), F.col("canonical").asc_nulls_last()
+    # top-1 by (jaccard desc, canonical asc) as a hash aggregation with
+    # map-side partial combine (min_by over an ordering struct) — the
+    # row_number window this replaces sorted every candidate row after a
+    # full shuffle. The -1.0 dictionary-miss sentinel can never tie a real
+    # candidate (exact Jaccard is >= 0), so the '' placeholder in the
+    # ordering struct never decides between a hit and a miss.
+    best = scored.groupBy("surface").agg(
+        F.min_by(
+            F.coalesce("canonical", "surface"),
+            F.struct(
+                (-F.col("jaccard")).alias("nj"),
+                F.coalesce("canonical", F.lit("")).alias("c"),
+            ),
+        ).alias("linked")
     )
-    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return top1.select(
-        "surface", F.coalesce("canonical", "surface").alias("linked")
-    )
+    return best.select("surface", "linked")
 
 
 def linked_triples(mention_triples: DataFrame) -> DataFrame:

@@ -96,25 +96,33 @@ def minhash_signature_fast(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _explode_band_keys(sig: DataFrame, id_col: str, key_exprs: list) -> DataFrame:
+    """One pass over ``sig``: all band keys computed per row, then exploded.
+    The previous union-of-selects shape re-evaluated the whole minhash
+    aggregation subtree ONCE PER BAND (no ReusedExchange fires across
+    union branches of an unmaterialized plan) — 4 bands = 4 shingle+minhash
+    computations of the identical input."""
+    arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), e.alias("key"))
+            for b, e in enumerate(key_exprs)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(arr).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def lsh_band_keys_fast(
     sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
 ) -> DataFrame:
     """Long-valued band keys over minhash_signature_fast output."""
     r = k // bands
-    outs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        outs.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.xxhash64(F.lit(b), *cols).alias("key"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    keys = [
+        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)])
+        for b in range(bands)
+    ]
+    return _explode_band_keys(sig, id_col, keys)
 
 
 def lsh_band_keys(
@@ -122,35 +130,42 @@ def lsh_band_keys(
 ) -> DataFrame:
     """-> (id, band, key): band key = md5(band || joined minhashes)."""
     r = k // bands
-    outs = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        outs.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("key"),
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|", F.lit(str(b)), *[F.col(f"mh_{b * r + j}") for j in range(r)]
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        for b in range(bands)
+    ]
+    return _explode_band_keys(sig, id_col, keys)
 
 
 def lsh_candidate_pairs(
     band_keys: DataFrame, id_col: str, max_bucket: int = 64
 ) -> DataFrame:
-    """Bucket self-join -> distinct (a, b) with a < b. Buckets larger than
-    ``max_bucket`` are dropped (boilerplate guard + join skew bound)."""
-    counts = band_keys.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bsz"))
-    bk = band_keys.join(counts, ["band", "key"]).filter(F.col("bsz") <= max_bucket)
-    a = bk.select("band", "key", F.col(id_col).alias("a"))
-    b = bk.select("band", "key", F.col(id_col).alias("b"))
+    """Bucket pair generation -> distinct (a, b) with a < b. Buckets larger
+    than ``max_bucket`` are dropped (boilerplate guard + pair blow-up bound).
+
+    Two-shuffle shape: a window count over (band, key) bounds the bucket
+    BEFORE any member list exists (so a degenerate stop-shingle bucket
+    never materializes an aggregation buffer), then the member collect_set
+    reuses the window's hash partitioning — no second exchange — and pairs
+    explode from the ≤``max_bucket``-element array in place. Replaces the
+    count/join/self-join shape (4 exchanges for the same result set)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key")
+    bounded = band_keys.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    )
+    buckets = bounded.groupBy("band", "key").agg(
+        F.collect_set(F.col(id_col)).alias("ids")
+    )
     return (
-        a.join(b, ["band", "key"])
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
@@ -180,8 +195,16 @@ def minhash_dedup(
     char_grams: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline -> (vertex=id, component) duplicate clusters."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = char_shingles(F.col(text_col), n) if char_grams else word_shingles(F.col(text_col), n)
-    shingled = df.select(F.col(id_col), sh.alias("shingles")).filter(F.size("shingles") > 0)
+    # consumed twice (minhash chain + exact-Jaccard verify join) — checkpoint
+    # so the shingle transform over the full corpus runs once
+    shingled = (
+        df.select(F.col(id_col), sh.alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     sig = minhash_signature(shingled, id_col, "shingles", k)
     cand = lsh_candidate_pairs(lsh_band_keys(sig, id_col, k, bands), id_col)
     edges = jaccard_verify(cand, shingled, id_col, threshold=threshold).select(

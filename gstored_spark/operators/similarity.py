@@ -183,16 +183,45 @@ def cosine_pairs_exact(
     embedding-near-duplicate edge set. Quadratic by design: this is the
     correctness baseline the bucketed path (cosine_near_dup) is verified
     against, same division of labor as topk_cosine vs topk_cosine_srp.
-    Scores rounded to 6 decimals so the threshold compare is stable across
-    engines. -> (a, b, score)."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("score") >= tau)
-        .select("a", "b", "score")
-    )
+
+    Execution shape: the full (id, vector) matrix is broadcast — the
+    baseline's one-side-fits-in-memory contract, same as
+    topk_cosine_partitioned's query matrix — and each Arrow batch of rows
+    computes a float64 numpy matmul block against it, emitting only the
+    (a < b, score >= tau) survivors. The O(n^2) work stays vectorized and
+    distributed across partitions; nothing quadratic is ever shuffled.
+    (This replaced an F.aggregate/zip_with per-pair score: interpreted
+    higher-order functions evaluated 3 aggregate passes x vector length
+    for every one of the n^2/2 joined pairs.) Scores rounded to 6 decimals
+    so the threshold compare is stable across engines. -> (a, b, score)."""
+    spark = df.sparkSession
+    side = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    rows = side.collect()
+    ids_all = np.array([r["a"] for r in rows])  # dtype follows the id type
+    mat = np.array([r["va"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids_all, mat, norms))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bids, bmat, bnorms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            aid = pdf["a"].to_numpy()
+            av = np.array(pdf["va"].tolist(), dtype=np.float64)
+            an = np.sqrt((av * av).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.round(
+                    (av @ bmat.T) / (an[:, None] * bnorms[None, :]), 6
+                )
+            keep = (scores >= tau) & (aid[:, None] < bids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a": aid[ai], "b": bids[bj], "score": scores[ai, bj]}
+            )
+
+    id_dt = side.schema["a"].dataType.simpleString()
+    return side.mapInPandas(gen, schema=f"a {id_dt}, b {id_dt}, score double")
 
 
 def cosine_near_dup(
