@@ -116,18 +116,21 @@ def connected_components(
     spark = edges.sparkSession
     e = _canon_edges(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
-    prev = _checksum(e)
-    if prev[0] == 0:
+    # single-job dispatch: CollectLimit over the checkpointed blocks stops
+    # at small_graph_edges+1 rows, so this never drags a web-scale edge set
+    # to the driver; if the limit was not hit, ``head`` IS the whole edge
+    # set and the driver fast path proceeds without a separate count job
+    head = e.limit(small_graph_edges + 1).collect()
+    if not head:
         return spark.createDataFrame(
             [], schema=T.StructType([
                 T.StructField("vertex", e.schema["hi"].dataType),
                 T.StructField("component", e.schema["hi"].dataType),
             ])
         )
-    if prev[0] <= small_graph_edges:
-        return _driver_union_find(
-            [(r["hi"], r["lo"]) for r in e.collect()], spark
-        )
+    if len(head) <= small_graph_edges:
+        return _driver_union_find([(r["hi"], r["lo"]) for r in head], spark)
+    prev = _checksum(e)
     # right-size tiny inputs: star rounds over a handful of rows shouldn't
     # schedule hundreds of shuffle tasks (coordination dominates at the
     # fixpoint tail); at cluster scale prev[0] is large and this is a no-op
