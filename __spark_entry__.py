@@ -362,6 +362,56 @@ def _q_update_artifact(spark, sf):
     return out.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).orderBy("pred")
 
 
+def _q_vacuum_reuse(spark, sf):
+    """ID free-list lifecycle (initIDinfo/allocate, Database.cpp:89-273,
+    275-411): delete every <placed_by> triple (killing all ord:* entities
+    and the predicate itself), vacuum the store (kg.update.vacuum_artifact
+    — the reference's load-time free-ID scan), insert brand-new terms, and
+    report per-namespace live/free counts plus whether every new id was a
+    reused hole (stayed inside the original dense range) — all of which
+    the oracle derives from pure term-set arithmetic."""
+    import shutil
+
+    from gstored_spark.kg.update import update_artifact, vacuum_artifact
+
+    art = _graph_artifact(spark, sf)
+    dst = art.dir + "_vac"
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(art.dir, dst)
+    g = _graph_triples(spark, sf)
+    deletes = (
+        g.filter(F.col("pred") == "<placed_by>")
+        .select("subj", "pred", "obj").distinct()
+    )
+    update_artifact(spark, dst, deletes=deletes)
+    art1 = vacuum_artifact(spark, dst)
+    ent_live = art1.entity_dict.count()
+    ent_free = art1.free_ids.filter("ns = 0").count()
+    pred_live = art1.pred_dict.count()
+    pred_free = art1.free_ids.filter("ns = 2").count()
+    ins = spark.createDataFrame(
+        [("<ent:v1>", "<vac_pred>", "<ent:v2>", True),
+         ("<ent:v2>", "<vac_pred>", "<ent:v3>", True)],
+        ["subj", "pred", "obj", "o_is_entity"],
+    )
+    art2 = update_artifact(spark, dst, inserts=ins)
+    ent_max = art2.entity_dict.agg(F.max("id")).first()[0]
+    pred_max = art2.pred_dict.agg(F.max("id")).first()[0]
+    return spark.createDataFrame(
+        [(
+            ent_live, ent_free,
+            art2.entity_dict.count(), art2.free_ids.filter("ns = 0").count(),
+            bool(ent_max < ent_live + ent_free),
+            pred_live, pred_free,
+            art2.pred_dict.count(), art2.free_ids.filter("ns = 2").count(),
+            bool(pred_max < pred_live + pred_free),
+        )],
+        "ent_live long, ent_free long, ent_after long, ent_free_after long,"
+        " ent_reused boolean, pred_live long, pred_free long, pred_after long,"
+        " pred_free_after long, pred_reused boolean",
+    )
+
+
 def _q_bgp_ask_lecf(spark, sf):
     """ASK via the LEC-FEATURE assembly (Util::HashLECFJoin,
     Util/Util.cpp:1560-1690): fragments ship only each local match's
@@ -845,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_ask_blocks": _q_bgp_ask_blocks,
         "bgp_ask_lecf": _q_bgp_ask_lecf,
         "update_artifact_counts": _q_update_artifact,
+        "vacuum_reuse": _q_vacuum_reuse,
         "bgp_parsed": _q_bgp_parsed,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
@@ -1038,6 +1089,23 @@ def oracle_sql() -> dict[str, str]:
                        AS t(subj, pred, obj)
             )
             SELECT pred, count(*) AS n FROM merged GROUP BY pred ORDER BY pred
+        """,
+        "vacuum_reuse": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            dedup AS (SELECT DISTINCT subj, pred, obj FROM g),
+            ents AS (SELECT subj AS term FROM dedup UNION SELECT obj FROM dedup),
+            live AS (SELECT * FROM dedup WHERE pred <> '<placed_by>'),
+            lents AS (SELECT subj AS term FROM live UNION SELECT obj FROM live),
+            n AS (SELECT (SELECT count(*) FROM ents) AS ne,
+                         (SELECT count(*) FROM lents) AS nl,
+                         (SELECT count(DISTINCT pred) FROM dedup) AS np,
+                         (SELECT count(DISTINCT pred) FROM live) AS npl)
+            SELECT nl AS ent_live, ne - nl AS ent_free, nl + 3 AS ent_after,
+                   ne - nl - 3 AS ent_free_after, (ne - nl) >= 3 AS ent_reused,
+                   npl AS pred_live, np - npl AS pred_free,
+                   npl + 1 AS pred_after, np - npl - 1 AS pred_free_after,
+                   (np - npl) >= 1 AS pred_reused
+            FROM n
         """,
         "bgp_parsed": f"""
             WITH g AS ({_GRAPH_SQL})

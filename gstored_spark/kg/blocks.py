@@ -382,6 +382,8 @@ class GraphArtifact:
         self.pred_stats = self._opt(spark, f"{art_dir}/pred_stats")
         self.triples_by_pred = self._opt(spark, f"{art_dir}/triples_by_pred")
         self.vertex_preds = self._opt(spark, f"{art_dir}/vertex_preds")
+        # (ns, id) holes a vacuum freed for reuse; None until first vacuum
+        self.free_ids = self._opt(spark, f"{art_dir}/free_ids")
         self.meta = self._meta(spark, f"{art_dir}/meta")
         # match.py attaches driver-side statistics caches to this handle
         # lazily (_cached_pred_ids / _cached_pred_stats): collected once,
@@ -484,6 +486,10 @@ def compact_artifact(
         pred_buckets=pred_buckets,
         sig_bucket_target=sig_bucket_target,
     )
+    if artifact.free_ids is not None:
+        # compaction preserves the logical content, so term liveness — and
+        # with it the vacuumed hole set — carries over unchanged
+        artifact.free_ids.write.mode("overwrite").parquet(f"{out_dir}/free_ids")
     return GraphArtifact(spark, out_dir)
 
 

@@ -31,10 +31,11 @@ LITERAL_FIRST_ID = 1000 * 1000 * 1000  # Util/Util.h:184-186
 
 
 def assign_dense_ids(
-    terms: DataFrame, col: str, offset: int = 0, buckets: int | None = None
+    terms: DataFrame, col: str, offset: int = 0, buckets: int | None = None,
+    dtype: str = "string",
 ) -> DataFrame:
-    """terms (one string column, assumed distinct) -> (col, id) with ids
-    offset..offset+n-1 assigned in lexicographic order."""
+    """terms (one column of ``dtype``, assumed distinct) -> (col, id) with
+    ids offset..offset+n-1 assigned in ascending sort order."""
     spark = terms.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
     srt = (
@@ -68,7 +69,7 @@ def assign_dense_ids(
                 out = pd.DataFrame({col: pdf[col].values, "id": list(ids)})
                 yield out
 
-        out = srt.mapInPandas(number, schema=f"{col} string, id long")
+        out = srt.mapInPandas(number, schema=f"{col} {dtype}, id long")
         # materialize before unpersist so the upstream sort runs exactly once
         out = out.localCheckpoint(eager=True)
     finally:

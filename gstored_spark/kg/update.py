@@ -14,19 +14,28 @@ The reference updates all 12+6 B+-trees plus the VS*-tree per triple
   the reference would touch — are rebuilt; all other partition blocks are
   carried over unchanged (MERGE-INTO-shaped incremental maintenance).
 
-DECLARED DIVERGENCE — no ID reuse after delete. The reference maintains
-free-lists of deleted entity/literal/predicate IDs and re-issues them on
-insert (initIDinfo/allocate, Database.cpp:89-273, 275-411) because its ID
-space is a mutable resource backing fixed-width B+-tree keys. Here deleted
-IDs are simply retired: immutable snapshots mean no tree rewrites, and
-correctness never depends on density — only on uniqueness and the
-entity/literal range split. The cost is namespace consumption: the entity
-namespace holds 1e9 IDs (ids.LITERAL_FIRST_ID), so a workload would need
-a cumulative total of 1e9 *distinct entity terms ever inserted* (not live
-at once) to exhaust it — at that point the remedy is a compacting rebuild
-(build_dictionaries over the live triple set), the same full-rebuild
-escape hatch the reference documents for store bloat. Literals get the
-same 1e9-wide range; predicates are unbounded longs.
+ID free lists (initIDinfo/allocate, Database.cpp:89-273, 275-411): the
+reference re-issues deleted entity/literal/predicate IDs on insert. Here
+the same contract is split across two operations, matching where the
+reference actually does the work:
+
+- ``vacuum_artifact`` is the ``initIDinfo`` analog — the reference
+  REBUILDS its free-ID info by scanning the store at load time
+  (Database.cpp:89-273); vacuum scans the logical triple bag once, drops
+  dictionary rows whose term is no longer referenced, and persists the
+  freed IDs to a ``free_ids/`` table.
+- ``update_artifact`` / ``dictionary_deltas`` are the ``allocate`` analog:
+  new terms draw from the persisted free lists first (lexicographically
+  smallest term takes the numerically smallest hole, deterministic at any
+  parallelism) and only then extend past the namespace max.
+
+DECLARED DIVERGENCE — deletes do not free IDs *inline*. The reference
+decrements per-term refcounts on every remove and frees at zero because
+its ID space backs fixed-width mutable B+-tree keys; with immutable
+snapshots, a dead dictionary row is harmless until the next vacuum, so
+hole discovery is deferred to the scan the reference performs at load
+time anyway. Between vacuums the cost is namespace consumption, bounded
+by the 1e9-wide entity/literal ranges (ids.LITERAL_FIRST_ID).
 """
 
 from __future__ import annotations
@@ -38,17 +47,50 @@ from gstored_spark.kg.ids import LITERAL_FIRST_ID, assign_dense_ids
 from gstored_spark.kg.partition import internal_vertices, route_triples
 
 
+def assign_ids_reusing(
+    new_terms: DataFrame, col: str, free_ids: DataFrame | None, next_append: int
+) -> DataFrame:
+    """Deterministic delta allocation with hole reuse (allocate,
+    Database.cpp:275-411): the lexicographically smallest new terms take
+    the numerically smallest free IDs; the remainder extends past the
+    namespace max. Both ranks are global-sort positions (the
+    assign_dense_ids machinery), so the assignment is identical at any
+    parallelism. ``free_ids``: one ``id`` column, or None/empty."""
+    if free_ids is None:
+        return assign_dense_ids(new_terms, col, next_append)
+    term_rank = assign_dense_ids(new_terms, col).withColumnRenamed("id", "rank")
+    free_rank = assign_dense_ids(
+        free_ids.select(F.col("id").alias("fid")), "fid", dtype="long"
+    ).withColumnRenamed("id", "rank")
+    n_free = free_rank.count()  # cheap: assign_dense_ids checkpoints
+    if n_free:
+        # holes can sit past the vacuumed dictionary's max (the dead terms
+        # WERE the tail) — appended ids must clear both
+        free_max = free_rank.agg(F.max("fid")).first()[0]
+        next_append = max(next_append, free_max + 1)
+    reused = term_rank.join(free_rank, "rank").select(
+        col, F.col("fid").alias("id")
+    )
+    appended = term_rank.join(free_rank, "rank", "left_anti").select(
+        col, (F.col("rank") - F.lit(n_free) + F.lit(next_append)).alias("id")
+    )
+    return reused.unionByName(appended)
+
+
 def dictionary_deltas(
     new_triples: DataFrame,
     entity_dict: DataFrame,
     literal_dict: DataFrame,
     pred_dict: DataFrame,
+    free_entity_ids: DataFrame | None = None,
+    free_literal_ids: DataFrame | None = None,
+    free_pred_ids: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The NEW dictionary rows a triple batch requires — unseen terms with
-    IDs allocated after each namespace's current max (append-only; the
-    reference's free-list reuse is a mutable-store concern that snapshots
-    obviate). Returned separately so artifact maintenance can APPEND just
-    these rows to the on-disk dictionaries."""
+    IDs drawn from the namespace's free list first (holes left by a prior
+    vacuum; reference ``allocate``, Database.cpp:275-411), then allocated
+    after the current max. Returned separately so artifact maintenance can
+    APPEND just these rows to the on-disk dictionaries."""
     spark = new_triples.sparkSession
 
     def next_id(d: DataFrame, floor: int) -> int:
@@ -67,18 +109,27 @@ def dictionary_deltas(
         .distinct()
         .join(literal_dict.select("term"), "term", "left_anti")
     )
-    d_entity = assign_dense_ids(new_entities, "term", next_id(entity_dict, 0))
-    d_literal = assign_dense_ids(new_literals, "term", next_id(literal_dict, LITERAL_FIRST_ID))
-    known = {r["term"] for r in pred_dict.collect()}
+    d_entity = assign_ids_reusing(
+        new_entities, "term", free_entity_ids, next_id(entity_dict, 0)
+    )
+    d_literal = assign_ids_reusing(
+        new_literals, "term", free_literal_ids, next_id(literal_dict, LITERAL_FIRST_ID)
+    )
+    rows = pred_dict.collect()
+    known = {r["term"] for r in rows}
     new_preds = sorted(
         r["term"]
         for r in new_triples.select(F.col("pred").alias("term")).distinct().collect()
         if r["term"] not in known
     )
-    base = pred_dict.count() if new_preds else 0
+    holes = sorted(free_pred_ids or [])
+    # appended ids must clear live ids AND holes (see assign_ids_reusing)
+    base = max([r["id"] for r in rows] + holes, default=-1) + 1 if new_preds else 0
+    pred_ids = holes[: len(new_preds)] + [
+        base + i for i in range(len(new_preds) - len(holes))
+    ]
     d_pred = spark.createDataFrame(
-        [(t, base + i) for i, t in enumerate(new_preds)],
-        schema="term string, id long",
+        list(zip(new_preds, pred_ids)), schema="term string, id long"
     )
     return d_entity, d_literal, d_pred
 
@@ -97,6 +148,71 @@ def extend_dictionaries(
         literal_dict.unionByName(d_l),
         pred_dict.unionByName(d_p),
     )
+
+
+def vacuum_dictionaries(
+    id_triples: DataFrame,
+    entity_dict: DataFrame,
+    literal_dict: DataFrame,
+    pred_dict: DataFrame,
+):
+    """Drop dictionary rows whose ID no longer appears in any triple and
+    return the freed IDs — the reference's refcount-reaches-zero removal
+    (Database.cpp:275-411) done as one set-difference over the live triple
+    bag, the same scan ``initIDinfo`` performs to rebuild free-ID info at
+    load time (Database.cpp:89-273).
+
+    Returns (entity_dict, literal_dict, pred_dict, free_entity_ids,
+    free_literal_ids, free_pred_ids) — free_* have one ``id`` column.
+    Invariant afterwards: free IDs are bound to NO term, so reusing one
+    can never alias two terms."""
+    used = (
+        id_triples.select(F.col("s").alias("id"))
+        .unionAll(id_triples.select(F.col("o").alias("id")))
+        .distinct()
+    )
+    used_p = id_triples.select(F.col("p").alias("id")).distinct()
+    out = []
+    for d, u in ((entity_dict, used), (literal_dict, used), (pred_dict, used_p)):
+        out.append(
+            (d.join(u, "id", "leftsemi"), d.select("id").join(u, "id", "left_anti"))
+        )
+    (e2, fe), (l2, fl), (p2, fp) = out
+    return e2, l2, p2, fe, fl, fp
+
+
+def vacuum_artifact(spark, art_dir: str):
+    """``initIDinfo`` for the emitted store (Database.cpp:89-273): scan the
+    logical triple bag once, drop dead dictionary rows, and persist the
+    freed IDs to ``free_ids/`` (ns 0=entity, 1=literal, 2=predicate) for
+    ``update_artifact`` to re-issue on subsequent inserts. Rewrites only
+    the three dictionary dirs + free_ids — adjacency/signature tables
+    reference live IDs only, so they are untouched. Returns a fresh
+    GraphArtifact."""
+    from gstored_spark.kg.blocks import GraphArtifact
+
+    art = GraphArtifact(spark, art_dir)
+    bag = (
+        art.triples_by_pred
+        if art.triples_by_pred is not None
+        else art.adjacency.filter("is_internal").select(
+            F.col("v").alias("s"), F.explode("out").alias("e")
+        ).select("s", F.col("e.p").alias("p"), F.col("e.o").alias("o"))
+    )
+    e2, l2, p2, fe, fl, fp = vacuum_dictionaries(
+        bag.select("s", "p", "o"), art.entity_dict, art.literal_dict, art.pred_dict
+    )
+    free = (
+        fe.withColumn("ns", F.lit(0))
+        .unionByName(fl.withColumn("ns", F.lit(1)))
+        .unionByName(fp.withColumn("ns", F.lit(2)))
+    )
+    # materialize everything BEFORE overwriting the dirs being read
+    e2, l2, p2, free = (d.localCheckpoint() for d in (e2, l2, p2, free))
+    for d, name in ((e2, "entity_dict"), (l2, "literal_dict"), (p2, "pred_dict")):
+        d.write.mode("overwrite").parquet(f"{art_dir}/{name}")
+    free.write.mode("overwrite").parquet(f"{art_dir}/free_ids")
+    return GraphArtifact(spark, art_dir)
 
 
 def apply_updates(
@@ -331,10 +447,17 @@ def update_artifact(
     tbp = art.triples_by_pred
 
     # -- dictionary deltas (appended later; used for encoding now) --------
+    # new terms draw from the free lists a prior vacuum persisted
+    # (allocate, Database.cpp:275-411) before extending past the max
     empty = spark.createDataFrame([], "term string, id long")
     if inserts is not None:
+        free = art.free_ids
         d_e, d_l, d_p = dictionary_deltas(
-            inserts, art.entity_dict, art.literal_dict, art.pred_dict
+            inserts, art.entity_dict, art.literal_dict, art.pred_dict,
+            free_entity_ids=free.filter("ns = 0") if free is not None else None,
+            free_literal_ids=free.filter("ns = 1") if free is not None else None,
+            free_pred_ids=[r["id"] for r in free.filter("ns = 2").collect()]
+            if free is not None else None,
         )
         d_e, d_l, d_p = (d.localCheckpoint() for d in (d_e, d_l, d_p))
     else:
@@ -572,6 +695,14 @@ def update_artifact(
     for d, name in ((d_e, "entity_dict"), (d_l, "literal_dict"), (d_p, "pred_dict")):
         if d.take(1):
             d.write.mode("append").parquet(f"{art_dir}/{name}")
+    if inserts is not None and art.free_ids is not None:
+        # holes handed out above are no longer free; materialize the
+        # remainder before overwriting the dir its plan reads
+        consumed = d_e.select("id").unionAll(d_l.select("id")).unionAll(
+            d_p.select("id")
+        )
+        leftover = art.free_ids.join(consumed, "id", "left_anti").localCheckpoint()
+        leftover.write.mode("overwrite").parquet(f"{art_dir}/free_ids")
     meta = dict(art.meta)
     n_vertices = int(meta.get("n_vertices", 0)) + (new_nv_aff - old_nv_aff)
     spark.createDataFrame(
