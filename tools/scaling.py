@@ -152,7 +152,8 @@ print("RESULT " + json.dumps(dict(cpus=cpus, docs=n_docs, triples=n,
       cpu_self=round(cpu_self, 1), ext_busy_s=round(ext, 1),
       unattr_s=round(unattr, 1),
       steal_s=round(steal1 - steal0, 1),
-      ext_busy_frac=round(ext / (dt * os.cpu_count()), 4))))
+      ext_busy_frac=round(ext / (dt * os.cpu_count()), 4),
+      heap=os.environ.get("SCALE_DRIVER_MEM", "32g"))))
 """
 
 
