@@ -78,6 +78,25 @@ _GRAPH_SQL = """
     SELECT 'nat:' || n_nationkey, '<in_region>', 'reg:' || n_regionkey FROM nation
 """
 
+def _chain_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 25-node chain nat:0 -> nat:1 -> ... -> nat:24 (<next_nation>) —
+    the multi-hop fixture the property-path closures run over (TPC-H
+    nation keys are contiguous 0..24 at every sf)."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.filter(k < 24).select(
+        F.concat(F.lit("nat:"), k).alias("subj"),
+        F.lit("<next_nation>").alias("pred"),
+        F.concat(F.lit("nat:"), (k + 1)).alias("obj"),
+    )
+
+
+_CHAIN_SQL = """
+    SELECT 'nat:' || n_nationkey AS subj, '<next_nation>' AS pred,
+           'nat:' || (n_nationkey + 1) AS obj
+    FROM nation WHERE n_nationkey < 24
+"""
+
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"  # DuckDB twin of dedup.normalized_text
 
 
@@ -525,6 +544,52 @@ def _q_bgp_parsed(spark, sf):
     return run_sparql(_graph_triples(spark, sf), text)
 
 
+def _q_path_plus(spark, sf):
+    """SPARQL 1.1 arbitrary-length path `<p>+` from query TEXT: semi-naive
+    transitive closure (plans/paths.py closure_pairs — delta rounds with
+    checkpointed lineage). Beyond the reference's SPARQL 1.0 grammar; the
+    oracle is DuckDB's recursive CTE over the identical chain."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _chain_triples(spark, sf), "SELECT ?a ?b WHERE { ?a <next_nation>+ ?b }"
+    )
+
+
+def _q_path_star_reach(spark, sf):
+    """Bound-endpoint `<p>*` — the seeded-BFS fast path: reachability from
+    ONE constant never materializes the full closure (frontier BFS over
+    node sets, cost = reachable subgraph), the path twin of a constant-
+    subject B+-tree probe."""
+    from gstored_spark.plans.paths import Link, Repeat, eval_path_pattern
+
+    return eval_path_pattern(
+        _chain_triples(spark, sf), "nat:0", Repeat(Link("<next_nation>"), "*"), "?b"
+    )
+
+
+def _q_path_seq(spark, sf):
+    """Sequence path `a/b/c` from text: pure relational composition (two
+    equi-joins) — Catalyst plans it like any 3-way BGP."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _graph_triples(spark, sf),
+        "SELECT ?o ?r WHERE { ?o <placed_by>/<in_nation>/<in_region> ?r }",
+    )
+
+
+def _q_path_alt_inv(spark, sf):
+    """Alternative + inverse path `(a|^b)` from text: bag union of the
+    forward relation and the swapped relation."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _graph_triples(spark, sf),
+        "SELECT ?x ?y WHERE { ?x (<in_nation>|^<placed_by>) ?y }",
+    )
+
+
 def _q_sparql_blocks(spark, sf):
     """SPARQL *text* answered FROM THE EMITTED STORE — the complete gqueryD
     lifecycle (Main/gqueryD.cpp:108-265: parse the query file, answer out
@@ -897,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_artifact_counts": _q_update_artifact,
         "vacuum_reuse": _q_vacuum_reuse,
         "bgp_parsed": _q_bgp_parsed,
+        "path_plus": _q_path_plus,
+        "path_star_reach": _q_path_star_reach,
+        "path_seq": _q_path_seq,
+        "path_alt_inv": _q_path_alt_inv,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
@@ -1122,6 +1191,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
               AND regexp_matches(t2.obj, 'nat:1.$') AND t1.obj <> t2.obj
             ORDER BY c, n LIMIT 100
+        """,
+        "path_plus": f"""
+            WITH RECURSIVE e AS (
+                SELECT subj AS s, obj AS o FROM ({_CHAIN_SQL})
+            ), tc AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s
+            )
+            SELECT s AS a, o AS b FROM tc
+        """,
+        "path_star_reach": f"""
+            WITH RECURSIVE e AS (
+                SELECT subj AS s, obj AS o FROM ({_CHAIN_SQL})
+            ), r AS (
+                SELECT 'nat:0' AS b
+                UNION
+                SELECT e.o FROM r JOIN e ON e.s = r.b
+            )
+            SELECT b FROM r
+        """,
+        "path_seq": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS o, t3.obj AS r
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+                       JOIN g t3 ON t2.obj = t3.subj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
+              AND t3.pred = '<in_region>'
+        """,
+        "path_alt_inv": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS x, obj AS y FROM g WHERE pred = '<in_nation>'
+            UNION ALL
+            SELECT obj AS x, subj AS y FROM g WHERE pred = '<placed_by>'
         """,
         "term_funcs": """
             WITH t AS (

@@ -294,6 +294,7 @@ class GroupPattern:
     post_filters: list = None  # str | Column, applied after optionals/minus
     exists: list["GroupPattern"] = None  # FILTER EXISTS -> leftsemi
     not_exists: list["GroupPattern"] = None  # FILTER NOT EXISTS -> left_anti
+    path_patterns: list = None  # (s_term, paths-AST, o_term) — SPARQL 1.1
 
     def __post_init__(self):
         self.optionals = self.optionals or []
@@ -304,6 +305,7 @@ class GroupPattern:
         self.post_filters = self.post_filters or []
         self.exists = self.exists or []
         self.not_exists = self.not_exists or []
+        self.path_patterns = self.path_patterns or []
 
 
 def eval_group(
@@ -339,6 +341,23 @@ def eval_group(
         return eval_group(triples, grp, pred_counts, bgp_eval)
 
     acc = _leaf(g.patterns) if g.patterns else None
+    for i, (s_t, pth, o_t) in enumerate(g.path_patterns):
+        # SPARQL 1.1 path patterns (plans/paths.py) evaluate over the flat
+        # triples relation and join the base like any other leaf
+        from gstored_spark.plans.paths import eval_path_pattern
+
+        if triples is None:
+            raise ValueError(
+                "property paths need a triples relation: pass one to "
+                "eval_group (artifact callers: run_sparql_over_artifact "
+                "builds the decoded view automatically)"
+            )
+        pdf = eval_path_pattern(triples, s_t, pth, o_t, idx=i)
+        if acc is None:
+            acc = pdf
+        else:
+            shared = [c for c in acc.columns if c in pdf.columns]
+            acc = acc.join(pdf, shared, "inner") if shared else acc.crossJoin(pdf)
     if g.unions:
         # {P . {A} UNION {B}} = P ⋈ (A ∪ B) — but branches may bind
         # DIFFERENT var subsets, and a var one branch leaves unbound is

@@ -48,7 +48,7 @@ _TOKEN = re.compile(
   | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][\w\-]*:[\w\-.]*|:[\w\-.]*)
   | (?P<kw>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+\-])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*/+\-^|?])
 """,
     re.VERBOSE,
 )
@@ -171,6 +171,75 @@ class _Parser:
             return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
         raise ValueError(f"bad triple term {t}")
 
+    # -- property paths (SPARQL 1.1 — beyond the reference's 1.0 grammar,
+    # Parser/SparqlParser.c has no path production; see plans/paths.py) ----
+    def _path_primary(self):
+        from gstored_spark.plans.paths import Link
+
+        if self.at_op("("):
+            self.next()
+            p = self._path_alt()
+            self.eat_op(")")
+            return p
+        t = self.peek()
+        if t is not None and t.kind == "iri":
+            self.next()
+            return Link(t.text)
+        if t is not None and t.kind == "pname":
+            self.next()
+            return Link(self.expand_pname(t.text))
+        if t is not None and t.kind == "kw" and t.text.lower() == "a":
+            self.next()
+            return Link("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+        raise ValueError(f"bad path element {t}")
+
+    def _path_postfix(self):
+        # PathEltOrInverse: '^' applies to the WHOLE PathElt incl. its
+        # modifier (`^<r>+` = `^(<r>+)`, SPARQL 1.1 grammar rule [91])
+        from gstored_spark.plans.paths import Inv, Repeat
+
+        if self.at_op("^"):
+            self.next()
+            return Inv(self._path_postfix())
+        p = self._path_primary()
+        # note: `<p>?x` tokenizes as a var — a bare `?` modifier needs
+        # whitespace before the next term (documented grammar note)
+        while self.at_op("+", "*", "?"):
+            p = Repeat(p, self.next().text)
+        return p
+
+    def _path_seq(self):
+        from gstored_spark.plans.paths import Seq
+
+        parts = [self._path_postfix()]
+        while self.at_op("/"):
+            self.next()
+            parts.append(self._path_postfix())
+        return parts[0] if len(parts) == 1 else Seq(tuple(parts))
+
+    def _path_alt(self):
+        from gstored_spark.plans.paths import Alt
+
+        parts = [self._path_seq()]
+        while self.at_op("|"):
+            self.next()
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else Alt(tuple(parts))
+
+    def parse_predicate(self):
+        """Predicate position: a var keeps the 1.0 TriplePattern shape
+        (pred-var joins, J7); a bare IRI/pname stays a plain term so plain
+        BGPs take the ordinary leaf path; anything with a path operator
+        returns a paths-AST node."""
+        from gstored_spark.plans.paths import Link
+
+        t = self.peek()
+        if t is not None and t.kind == "var":
+            self.next()
+            return t.text
+        p = self._path_alt()
+        return p.iri if isinstance(p, Link) else p
+
     # -- query ---------------------------------------------------------------
     def parse_query(self) -> ParsedQuery:
         while self.at_kw("prefix"):
@@ -276,10 +345,13 @@ class _Parser:
                 # same desugaring loop as the Turtle source (sources/turtle.py)
                 s = self.triple_term()
                 while True:
-                    p = self.triple_term()
+                    p = self.parse_predicate()
                     while True:
                         o = self.triple_term()
-                        g.patterns.append(TriplePattern(s, p, o))
+                        if isinstance(p, str):
+                            g.patterns.append(TriplePattern(s, p, o))
+                        else:
+                            g.path_patterns.append((s, p, o))
                         if self.at_op(","):
                             self.next()
                             continue
@@ -296,6 +368,10 @@ class _Parser:
         base_vars = set()
         for p in g.patterns:
             base_vars |= {v[1:] for v in p.vars()}
+        for s_t, _, o_t in g.path_patterns:
+            base_vars |= {
+                t[1:] for t in (s_t, o_t) if isinstance(t, str) and t.startswith("?")
+            }
         for e in raw_filters:
             cond = _to_bool(e)
             (g.filters if e.vars <= base_vars else g.post_filters).append(cond)
@@ -541,6 +617,10 @@ def _group_vars(g: GroupPattern) -> list[str]:
             for t in (p.s, p.p, p.o):
                 if t.startswith("?") and t[1:] not in seen:
                     seen.append(t[1:])
+        for s_t, _, o_t in gr.path_patterns:
+            for t in (s_t, o_t):
+                if isinstance(t, str) and t.startswith("?") and t[1:] not in seen:
+                    seen.append(t[1:])
         for sub in gr.unions + gr.joins + gr.optionals:
             walk(sub)
 
@@ -699,8 +779,37 @@ def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> Da
         ev = lambda pats: match_partitioned(artifact, pats)  # noqa: E731
     else:
         ev = lambda pats: match_over_blocks(artifact, pats)  # noqa: E731
-    df = eval_group(None, q.group, bgp_eval=ev)
+    tv = _artifact_triples_view(artifact) if _has_paths(q.group) else None
+    df = eval_group(tv, q.group, bgp_eval=ev)
     return _finish_query(q, df)
+
+
+def _has_paths(g: GroupPattern) -> bool:
+    return bool(g.path_patterns) or any(
+        _has_paths(sub)
+        for sub in g.unions + g.joins + g.optionals + g.minus + g.exists + g.not_exists
+    )
+
+
+def _artifact_triples_view(artifact) -> DataFrame:
+    """Decoded (subj, pred, obj) string view of the store, for path
+    evaluation: the predicate-first table when present (already the triple
+    bag in p-order), else adjacency reconstitution; ids decoded through the
+    dictionaries (StringIndex placement)."""
+    from gstored_spark.kg.blocks import triples_from_adjacency
+    from gstored_spark.kg.ids import decode_ids
+
+    tbp = getattr(artifact, "triples_by_pred", None)
+    ids = (
+        tbp.select("s", "p", "o")
+        if tbp is not None
+        else triples_from_adjacency(artifact.adjacency)
+    )
+    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+    df = decode_ids(ids, "s", term_dict, "subj")
+    df = decode_ids(df, "p", artifact.pred_dict, "pred")
+    df = decode_ids(df, "o", term_dict, "obj")
+    return df.select("subj", "pred", "obj")
 
 
 def _finish_query(q: "ParsedQuery", df: DataFrame) -> DataFrame:
