@@ -590,6 +590,59 @@ def _q_path_alt_inv(spark, sf):
     )
 
 
+def _q_sparql_groupby(spark, sf):
+    """SPARQL 1.1 GROUP BY + HAVING from text (the reference's grammar has
+    no aggregate surface, SURVEY §2.5): aggregates compile to hidden agg
+    columns (map-side partial aggregation), HAVING filters after."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _graph_triples(spark, sf),
+        """SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in_nation> ?n }
+           GROUP BY ?n HAVING (COUNT(?c) > 40)""",
+    )
+
+
+def _q_sparql_bind_values(spark, sf):
+    """BIND(expr AS ?v) + inline VALUES data from text: VALUES joins the
+    group as a literal relation, BIND adds a computed column before the
+    group's filters."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _graph_triples(spark, sf),
+        """SELECT ?c ?n ?flag WHERE {
+             ?c <in_nation> ?n .
+             VALUES ?n { "nat:3" "nat:7" }
+             BIND(REGEX(?c, "^supp") AS ?flag)
+           }""",
+    )
+
+
+def _q_sparql_agg_sum(spark, sf):
+    """Global (ungrouped) SUM/COUNT/MIN over typed numeric literals:
+    aggregates run on the VALUE space (typed-literal numeric extraction,
+    functions/terms.py), `?b + 0` exercises arithmetic inside an
+    aggregate argument."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    c = _t(spark, sf, "customer")
+    bal = c.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey")).alias("subj"),
+        F.lit("<balance>").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ).alias("obj"),
+    )
+    return run_sparql(
+        bal,
+        """SELECT (SUM(?b) AS ?total) (COUNT(*) AS ?n) (MIN(?b + 0) AS ?lo)
+           WHERE { ?c <balance> ?b }""",
+    )
+
+
 def _q_sparql_blocks(spark, sf):
     """SPARQL *text* answered FROM THE EMITTED STORE — the complete gqueryD
     lifecycle (Main/gqueryD.cpp:108-265: parse the query file, answer out
@@ -966,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_star_reach": _q_path_star_reach,
         "path_seq": _q_path_seq,
         "path_alt_inv": _q_path_alt_inv,
+        "sparql_groupby": _q_sparql_groupby,
+        "sparql_bind_values": _q_sparql_bind_values,
+        "sparql_agg_sum": _q_sparql_agg_sum,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
@@ -1225,6 +1281,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS x, obj AS y FROM g WHERE pred = '<in_nation>'
             UNION ALL
             SELECT obj AS x, subj AS y FROM g WHERE pred = '<placed_by>'
+        """,
+        "sparql_groupby": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT obj AS n, COUNT(subj) AS cnt FROM g
+            WHERE pred = '<in_nation>'
+            GROUP BY obj HAVING COUNT(subj) > 40
+        """,
+        "sparql_bind_values": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS c, obj AS n, regexp_matches(subj, '^supp') AS flag
+            FROM g WHERE pred = '<in_nation>' AND obj IN ('nat:3', 'nat:7')
+        """,
+        "sparql_agg_sum": """
+            WITH b AS (
+                SELECT CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS DOUBLE) AS v
+                FROM customer
+            )
+            SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n, MIN(v) AS lo
+            FROM b
         """,
         "term_funcs": """
             WITH t AS (

@@ -295,6 +295,8 @@ class GroupPattern:
     exists: list["GroupPattern"] = None  # FILTER EXISTS -> leftsemi
     not_exists: list["GroupPattern"] = None  # FILTER NOT EXISTS -> left_anti
     path_patterns: list = None  # (s_term, paths-AST, o_term) — SPARQL 1.1
+    binds: list = None  # (var_name, Column) — BIND(expr AS ?v)
+    values_tables: list = None  # (var_names, rows) — inline VALUES data
 
     def __post_init__(self):
         self.optionals = self.optionals or []
@@ -306,6 +308,8 @@ class GroupPattern:
         self.exists = self.exists or []
         self.not_exists = self.not_exists or []
         self.path_patterns = self.path_patterns or []
+        self.binds = self.binds or []
+        self.values_tables = self.values_tables or []
 
 
 def eval_group(
@@ -389,7 +393,33 @@ def eval_group(
         else:
             shared = [c for c in acc.columns if c in jdf.columns]
             acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
+    for vars_, rows in g.values_tables:
+        # inline VALUES data: a literal relation joined on shared vars (a
+        # NULL/UNDEF landing in a shared var drops the row — same documented
+        # simplification as the union branch-varset note above)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            acc.sparkSession
+            if acc is not None
+            else triples.sparkSession
+            if triples is not None
+            else SparkSession.getActiveSession()
+        )
+        vdf = spark.createDataFrame(
+            rows, ", ".join(f"{v} string" for v in vars_)
+        )
+        if acc is None:
+            acc = vdf
+        else:
+            shared = [c for c in acc.columns if c in vdf.columns]
+            acc = acc.join(vdf, shared, "inner") if shared else acc.crossJoin(vdf)
     assert acc is not None, "empty group pattern"
+    for v, col in g.binds:
+        # BIND(expr AS ?v): order-insensitive placement after the group's
+        # relational part (documented simplification of SPARQL's sequential
+        # BIND scoping — filters that mention ?v still apply after it)
+        acc = acc.withColumn(v, col)
     for f in g.filters:
         acc = acc.filter(_pred(f))
     for opt in g.optionals:

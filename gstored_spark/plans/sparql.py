@@ -58,6 +58,8 @@ _BUILTINS = {
     "isiri", "isuri", "isblank", "isliteral", "regex",
 }
 
+_AGGREGATES = {"count", "sum", "avg", "min", "max"}
+
 
 @dataclass
 class Tok:
@@ -99,6 +101,11 @@ class ParsedQuery:
     order_by: list[tuple[str, bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+    # SPARQL 1.1 aggregation surface (beyond the reference's grammar):
+    group_by: list[str] = field(default_factory=list)  # var names
+    aggregates: list = field(default_factory=list)  # (hidden_name, Column)
+    select_exprs: list = field(default_factory=list)  # (alias, Column)
+    having: list = field(default_factory=list)  # Column filters post-agg
 
 
 class _Parser:
@@ -106,6 +113,16 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # aggregate plumbing: aggregate calls are only legal inside SELECT
+        # expressions and HAVING; each call becomes a hidden agg column
+        # (__agg{i}) the post-agg expressions/filters reference, so
+        # (COUNT(?x) * 2 AS ?y) and HAVING (COUNT(?x) > 5) compile uniformly
+        self._allow_aggs = False
+        self._pending_aggs: list[tuple] = []  # (hidden_name, Column)
+        # BIND(expr AS ?v) columns carry the expr's NATIVE Spark type, not
+        # an RDF term string — later expressions over ?v must coerce with
+        # the bind's kind, not TERM (e.g. FILTER(?v) on a boolean bind)
+        self._bind_kinds: dict[str, str] = {}
 
     # -- token helpers -----------------------------------------------------
     def peek(self, k: int = 0) -> Tok | None:
@@ -240,6 +257,44 @@ class _Parser:
         p = self._path_alt()
         return p.iri if isinstance(p, Link) else p
 
+    def parse_values(self) -> tuple[list[str], list[tuple]]:
+        """VALUES ?x { t... } | VALUES (?x ?y) { (t t) ... }. UNDEF -> NULL.
+        Plain string literals contribute their VALUE form (the same
+        compare-on-value convention as FILTER constants, module docstring)."""
+        if self.at_op("("):
+            self.next()
+            vars_ = []
+            while self.peek() is not None and self.peek().kind == "var":
+                vars_.append(self.next().text[1:])
+            self.eat_op(")")
+        else:
+            v = self.next()
+            if v.kind != "var":
+                raise ValueError(f"bad VALUES var {v}")
+            vars_ = [v.text[1:]]
+
+        def one_term():
+            if self.at_kw("undef"):
+                self.next()
+                return None
+            t = self.triple_term()
+            if t.startswith('"') and t.endswith('"'):
+                return t[1:-1]  # plain literal -> value space
+            return t
+
+        rows: list[tuple] = []
+        self.eat_op("{")
+        while not self.at_op("}"):
+            if len(vars_) == 1 and not self.at_op("("):
+                rows.append((one_term(),))
+                continue
+            self.eat_op("(")
+            row = tuple(one_term() for _ in vars_)
+            self.eat_op(")")
+            rows.append(row)
+        self.eat_op("}")
+        return vars_, rows
+
     # -- query ---------------------------------------------------------------
     def parse_query(self) -> ParsedQuery:
         while self.at_kw("prefix"):
@@ -264,20 +319,40 @@ class _Parser:
             self.next()
             reduced = True
         proj: list[str] | None
+        select_exprs: list = []
         if self.at_op("*"):
             self.next()
             proj = None
         else:
             proj = []
-            while self.peek() is not None and self.peek().kind == "var":
-                proj.append(self.next().text[1:])
+            while True:
+                t = self.peek()
+                if t is not None and t.kind == "var":
+                    proj.append(self.next().text[1:])
+                elif t is not None and t.kind == "op" and t.text == "(":
+                    # (expr AS ?v) — select expression, possibly aggregate
+                    self.next()
+                    self._allow_aggs = True
+                    e = self.parse_expr()
+                    self._allow_aggs = False
+                    self.eat_kw("as")
+                    v = self.next()
+                    if v.kind != "var":
+                        raise ValueError(f"AS target must be a var, got {v}")
+                    self.eat_op(")")
+                    select_exprs.append((v.text[1:], e.col))
+                    proj.append(v.text[1:])
+                else:
+                    break
             if not proj:
                 raise ValueError("empty SELECT projection")
         if self.at_kw("where"):
             self.next()
         g = self.parse_group()
         q = ParsedQuery("select", proj, g, distinct=distinct, reduced=reduced)
+        q.select_exprs = select_exprs
         self.parse_modifiers(q)
+        q.aggregates = list(self._pending_aggs)
         return q
 
     def parse_modifiers(self, q: ParsedQuery) -> None:
@@ -302,6 +377,19 @@ class _Parser:
             elif self.at_kw("offset"):
                 self.next()
                 q.offset = int(self.next().text)
+            elif self.at_kw("group"):
+                self.next()
+                self.eat_kw("by")
+                while self.peek() is not None and self.peek().kind == "var":
+                    q.group_by.append(self.next().text[1:])
+                if not q.group_by:
+                    raise ValueError("GROUP BY needs at least one var")
+            elif self.at_kw("having"):
+                self.next()
+                self._allow_aggs = True
+                e = self.parse_constraint()
+                self._allow_aggs = False
+                q.having.append(_to_bool(e))
             else:
                 break
 
@@ -328,6 +416,24 @@ class _Parser:
             elif self.at_kw("minus"):
                 self.next()
                 g.minus.append(self.parse_group())
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                e = self.parse_expr()
+                self.eat_kw("as")
+                v = self.next()
+                if v.kind != "var":
+                    raise ValueError(f"BIND target must be a var, got {v}")
+                self.eat_op(")")
+                g.binds.append((v.text[1:], e.col))
+                self._bind_kinds[v.text[1:]] = e.kind
+                if self.at_op("."):
+                    self.next()
+            elif self.at_kw("values"):
+                self.next()
+                g.values_tables.append(self.parse_values())
+                if self.at_op("."):
+                    self.next()
             elif self.at_op("{"):
                 sub = self.parse_group()
                 if self.at_kw("union"):
@@ -372,6 +478,9 @@ class _Parser:
             base_vars |= {
                 t[1:] for t in (s_t, o_t) if isinstance(t, str) and t.startswith("?")
             }
+        base_vars |= {v for v, _ in g.binds}
+        for vars_, _ in g.values_tables:
+            base_vars |= set(vars_)
         for e in raw_filters:
             cond = _to_bool(e)
             (g.filters if e.vars <= base_vars else g.post_filters).append(cond)
@@ -479,7 +588,7 @@ class _Parser:
         if t.kind == "var":
             self.next()
             name = t.text[1:]
-            return Expr(TERM, F.col(name), {name})
+            return Expr(self._bind_kinds.get(name, TERM), F.col(name), {name})
         if t.kind == "num":
             self.next()
             return Expr(NUM, F.lit(float(t.text)), set())
@@ -499,10 +608,53 @@ class _Parser:
             if name in ("true", "false"):
                 self.next()
                 return Expr(BOOL, F.lit(name == "true"), set())
+            if name in _AGGREGATES:
+                self.next()
+                return self.parse_aggregate(name)
             if name in _BUILTINS:
                 self.next()
                 return self.parse_builtin(name)
         raise ValueError(f"bad expression token {t}")
+
+    def parse_aggregate(self, name: str) -> Expr:
+        """COUNT/SUM/AVG/MIN/MAX(...) -> a hidden agg column reference
+        (see __init__ note). COUNT supports * and DISTINCT; SUM/AVG run on
+        the numeric value space; MIN/MAX keep TERM columns lexical (the
+        reference has no aggregate surface at all — SURVEY §2.5)."""
+        if not self._allow_aggs:
+            raise ValueError(
+                f"{name.upper()} is only allowed in SELECT expressions and HAVING"
+            )
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        if name == "count" and self.at_op("*"):
+            self.next()
+            agg = F.count(F.lit(1))
+            kind = NUM
+        else:
+            e = self.parse_expr()
+            if name == "count":
+                agg = F.countDistinct(e.col) if distinct else F.count(e.col)
+                kind = NUM
+            elif distinct:
+                raise ValueError(f"DISTINCT not supported for {name.upper()}")
+            elif name == "sum":
+                agg, kind = F.sum(_to_num(e)), NUM
+            elif name == "avg":
+                agg, kind = F.avg(_to_num(e)), NUM
+            elif name == "min":
+                agg = F.min(_to_num(e) if e.kind == NUM else e.col)
+                kind = e.kind
+            else:  # max
+                agg = F.max(_to_num(e) if e.kind == NUM else e.col)
+                kind = e.kind
+        self.eat_op(")")
+        hidden = f"__agg{len(self._pending_aggs)}"
+        self._pending_aggs.append((hidden, agg))
+        return Expr(kind, F.col(hidden), set())
 
     def parse_builtin(self, name: str) -> Expr:
         self.eat_op("(")
@@ -818,6 +970,20 @@ def _finish_query(q: "ParsedQuery", df: DataFrame) -> DataFrame:
     tail regardless of how the group was evaluated)."""
     if q.form == "ask":
         return df.limit(1).select(F.lit(True).alias("ask"))
+    # SPARQL 1.1 aggregation tail: hidden agg columns first (map-side
+    # partial aggregation), then post-agg select expressions and HAVING
+    # filters that reference them, then the hidden columns drop away
+    if q.group_by and not q.aggregates:
+        df = df.select(*q.group_by).distinct()
+    elif q.group_by or q.aggregates:
+        aggs = [c.alias(n) for n, c in q.aggregates]
+        df = df.groupBy(*q.group_by).agg(*aggs) if q.group_by else df.agg(*aggs)
+    for alias, col in q.select_exprs:
+        df = df.withColumn(alias, col)
+    for cond in q.having:
+        df = df.filter(cond)
+    if q.aggregates:
+        df = df.drop(*[n for n, _ in q.aggregates])
     proj = q.projection if q.projection is not None else _group_vars(q.group)
     # a projected var bound nowhere in the group is unbound -> NULL column
     # (SPARQL unbound semantics, not an analysis error)

@@ -338,3 +338,81 @@ def test_filter_exists_text(spark):
     assert run(
         "SELECT ?x WHERE { ?x <p:knows> ?y . FILTER NOT EXISTS { ?x <p:name> ?n } }"
     ) == {("<e:b>",)}
+
+
+# -- SPARQL 1.1 aggregation / BIND / VALUES (beyond the reference grammar) --
+
+
+@pytest.fixture(scope="module")
+def agg_triples(spark):
+    rows = [
+        ("c1", "<in>", "n1"), ("c2", "<in>", "n1"), ("c3", "<in>", "n2"),
+        ("c1", "<bal>", '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("c2", "<bal>", '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("c3", "<bal>", '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_group_by_having(spark, agg_triples):
+    got = run_sparql(
+        agg_triples,
+        "SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in> ?n } "
+        "GROUP BY ?n HAVING (COUNT(?c) > 1)",
+    ).collect()
+    assert [(r["n"], r["cnt"]) for r in got] == [("n1", 2)]
+
+
+def test_global_aggregate_and_arith_arg(spark, agg_triples):
+    (row,) = run_sparql(
+        agg_triples,
+        "SELECT (SUM(?b) AS ?t) (COUNT(*) AS ?n) (MIN(?b + 0) AS ?lo) "
+        "WHERE { ?c <bal> ?b }",
+    ).collect()
+    assert (row["t"], row["n"], row["lo"]) == (45.0, 3, 5.0)
+
+
+def test_select_expression_over_aggregate(spark, agg_triples):
+    # (COUNT(?c) * 2 AS ?dbl): agg runs hidden, expression applies after
+    (row,) = run_sparql(
+        agg_triples, "SELECT (COUNT(?c) * 2 AS ?dbl) WHERE { ?c <in> ?n }"
+    ).collect()
+    assert row["dbl"] == 6.0
+
+
+def test_group_by_without_aggregates_is_distinct_keys(spark, agg_triples):
+    got = run_sparql(
+        agg_triples, "SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n"
+    ).collect()
+    assert sorted(r["n"] for r in got) == ["n1", "n2"]
+
+
+def test_aggregate_outside_select_rejected(spark):
+    import pytest as _pytest
+
+    from gstored_spark.plans.sparql import parse_sparql
+
+    with _pytest.raises(ValueError, match="only allowed"):
+        parse_sparql("SELECT ?x WHERE { ?x <p> ?y . FILTER (COUNT(?y) > 1) }")
+
+
+def test_bind_feeds_filter(spark, agg_triples):
+    got = run_sparql(
+        agg_triples,
+        'SELECT ?c WHERE { ?c <in> ?n . BIND(REGEX(?c, "1$") AS ?f) '
+        "FILTER (?f) }",
+    ).collect()
+    assert [r["c"] for r in got] == ["c1"]
+
+
+def test_values_single_and_multi_var(spark, agg_triples):
+    got = run_sparql(
+        agg_triples,
+        'SELECT ?c ?n WHERE { ?c <in> ?n . VALUES ?n { "n2" } }',
+    ).collect()
+    assert [tuple(r) for r in got] == [("c3", "n2")]
+    rows = run_sparql(
+        agg_triples,
+        'SELECT ?x ?y WHERE { VALUES (?x ?y) { ("a" "b") ("c" UNDEF) } }',
+    ).collect()
+    assert sorted((r["x"], r["y"]) for r in rows) == [("a", "b"), ("c", None)]
