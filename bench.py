@@ -48,6 +48,8 @@ QUERY_NAMES = [
     "bgp_ask_blocks",
     "bgp_star",
     "bgp_parsed",
+    "path_seq",
+    "sparql_groupby",
     "sparql_blocks",
     "modify_where",
     "term_funcs",
