@@ -643,6 +643,19 @@ def _q_sparql_agg_sum(spark, sf):
     )
 
 
+def _q_construct_graph(spark, sf):
+    """CONSTRUCT from text (graph-producing query form, S5-adjacent):
+    template instantiation per solution, set semantics, incomplete
+    instantiations dropped."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(
+        _graph_triples(spark, sf),
+        """CONSTRUCT { ?c <lives_in> ?n . ?n <has_member> ?c }
+           WHERE { ?c <in_nation> ?n }""",
+    )
+
+
 def _q_sparql_blocks(spark, sf):
     """SPARQL *text* answered FROM THE EMITTED STORE — the complete gqueryD
     lifecycle (Main/gqueryD.cpp:108-265: parse the query file, answer out
@@ -1022,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupby": _q_sparql_groupby,
         "sparql_bind_values": _q_sparql_bind_values,
         "sparql_agg_sum": _q_sparql_agg_sum,
+        "construct_graph": _q_construct_graph,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
         "delete_where": _q_delete_where,
@@ -1300,6 +1314,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n, MIN(v) AS lo
             FROM b
+        """,
+        "construct_graph": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            m AS (SELECT subj AS c, obj AS n FROM g WHERE pred = '<in_nation>')
+            SELECT c AS subj, '<lives_in>' AS pred, n AS obj FROM m
+            UNION
+            SELECT n AS subj, '<has_member>' AS pred, c AS obj FROM m
         """,
         "term_funcs": """
             WITH t AS (

@@ -106,6 +106,7 @@ class ParsedQuery:
     aggregates: list = field(default_factory=list)  # (hidden_name, Column)
     select_exprs: list = field(default_factory=list)  # (alias, Column)
     having: list = field(default_factory=list)  # Column filters post-agg
+    templates: list = field(default_factory=list)  # CONSTRUCT triple templates
 
 
 class _Parser:
@@ -310,6 +311,27 @@ class _Parser:
                 self.next()
             g = self.parse_group()
             return ParsedQuery("ask", None, g)
+        if self.at_kw("construct"):
+            # CONSTRUCT { templates } WHERE { group }: the produced graph is
+            # a SET of instantiated triples (incomplete instantiations —
+            # a template var unbound in a solution — are dropped, per spec)
+            self.next()
+            self.eat_op("{")
+            templates: list[TriplePattern] = []
+            while not self.at_op("}"):
+                s = self.triple_term()
+                p = self.triple_term()
+                o = self.triple_term()
+                templates.append(TriplePattern(s, p, o))
+                if self.at_op("."):
+                    self.next()
+            self.eat_op("}")
+            if self.at_kw("where"):
+                self.next()
+            g = self.parse_group()
+            q = ParsedQuery("construct", None, g, templates=templates)
+            self.parse_modifiers(q)
+            return q
         self.eat_kw("select")
         distinct = reduced = False
         if self.at_kw("distinct"):
@@ -970,6 +992,28 @@ def _finish_query(q: "ParsedQuery", df: DataFrame) -> DataFrame:
     tail regardless of how the group was evaluated)."""
     if q.form == "ask":
         return df.limit(1).select(F.lit(True).alias("ask"))
+    if q.form == "construct":
+        # instantiate each template over the solutions; union; SET semantics
+        out: DataFrame | None = None
+        for t in q.templates:
+            def term_col(term, role):
+                if term.startswith("?"):
+                    v = term[1:]
+                    return (
+                        F.col(v) if v in df.columns else F.lit(None).cast("string")
+                    ).alias(role)
+                return F.lit(term).alias(role)
+
+            one = df.select(
+                term_col(t.s, "subj"), term_col(t.p, "pred"), term_col(t.o, "obj")
+            ).filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+            out = one if out is None else out.unionAll(one)
+        assert out is not None, "CONSTRUCT needs at least one template"
+        return modifiers(out.distinct(), limit=q.limit, offset=q.offset)
     # SPARQL 1.1 aggregation tail: hidden agg columns first (map-side
     # partial aggregation), then post-agg select expressions and HAVING
     # filters that reference them, then the hidden columns drop away

@@ -416,3 +416,24 @@ def test_values_single_and_multi_var(spark, agg_triples):
         'SELECT ?x ?y WHERE { VALUES (?x ?y) { ("a" "b") ("c" UNDEF) } }',
     ).collect()
     assert sorted((r["x"], r["y"]) for r in rows) == [("a", "b"), ("c", None)]
+
+
+def test_construct_templates(spark, agg_triples):
+    out = run_sparql(
+        agg_triples,
+        "CONSTRUCT { ?c <member_of> ?n . ?n <has> ?c } WHERE { ?c <in> ?n }",
+    )
+    assert out.columns == ["subj", "pred", "obj"]
+    got = {tuple(r) for r in out.collect()}
+    assert ("c1", "<member_of>", "n1") in got
+    assert ("n1", "<has>", "c1") in got
+    assert len(got) == 6
+
+
+def test_construct_drops_incomplete_instantiations(spark, agg_triples):
+    # ?z bound nowhere -> its template instantiations all drop
+    out = run_sparql(
+        agg_triples,
+        "CONSTRUCT { ?c <member_of> ?z } WHERE { ?c <in> ?n }",
+    )
+    assert out.count() == 0
