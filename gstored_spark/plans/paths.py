@@ -82,6 +82,17 @@ class Repeat:
     op: str  # '+', '*', '?'
 
 
+@dataclass(frozen=True)
+class Neg:
+    """`!iri` / `!(iri1|^iri2|...)` — negated property set: an edge whose
+    predicate is NOT in the forward set, unioned with a REVERSED edge whose
+    predicate is not in the inverse set (spec: forward and inverse parts
+    evaluate independently)."""
+
+    forward: tuple  # IRIs excluded in the forward direction
+    inverse: tuple  # IRIs excluded in the inverse direction
+
+
 def path_vars(path) -> set[str]:
     return set()  # paths contain no variables; endpoints carry them
 
@@ -180,6 +191,24 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
         acc = path_edges(triples, path.parts[0])
         for part in path.parts[1:]:
             acc = acc.unionAll(path_edges(triples, part))
+        return acc
+    if isinstance(path, Neg):
+        parts = []
+        if path.forward or not path.inverse:
+            fwd = triples
+            if path.forward:
+                fwd = fwd.filter(~F.col("pred").isin(list(path.forward)))
+            parts.append(
+                fwd.select(F.col("subj").alias("s"), F.col("obj").alias("o"))
+            )
+        if path.inverse:
+            inv = triples.filter(~F.col("pred").isin(list(path.inverse)))
+            parts.append(
+                inv.select(F.col("obj").alias("s"), F.col("subj").alias("o"))
+            )
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionAll(p)
         return acc
     if isinstance(path, Repeat):
         inner = path_edges(triples, path.path)

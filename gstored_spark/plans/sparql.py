@@ -211,14 +211,48 @@ class _Parser:
             return Link("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
         raise ValueError(f"bad path element {t}")
 
+    def _path_neg_member(self) -> tuple[bool, str]:
+        """PathOneInPropertySet: iri | 'a' | '^' (iri | 'a')."""
+        inverse = False
+        if self.at_op("^"):
+            self.next()
+            inverse = True
+        t = self.next()
+        if t.kind == "iri":
+            return inverse, t.text
+        if t.kind == "pname":
+            return inverse, self.expand_pname(t.text)
+        if t.kind == "kw" and t.text.lower() == "a":
+            return inverse, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        raise ValueError(f"bad negated-property-set member {t}")
+
     def _path_postfix(self):
         # PathEltOrInverse: '^' applies to the WHOLE PathElt incl. its
         # modifier (`^<r>+` = `^(<r>+)`, SPARQL 1.1 grammar rule [91])
-        from gstored_spark.plans.paths import Inv, Repeat
+        from gstored_spark.plans.paths import Inv, Neg, Repeat
 
         if self.at_op("^"):
             self.next()
             return Inv(self._path_postfix())
+        if self.at_op("!"):
+            self.next()
+            members = []
+            if self.at_op("("):
+                self.next()
+                members.append(self._path_neg_member())
+                while self.at_op("|"):
+                    self.next()
+                    members.append(self._path_neg_member())
+                self.eat_op(")")
+            else:
+                members.append(self._path_neg_member())
+            p = Neg(
+                tuple(iri for inv, iri in members if not inv),
+                tuple(iri for inv, iri in members if inv),
+            )
+            while self.at_op("+", "*", "?"):
+                p = Repeat(p, self.next().text)
+            return p
         p = self._path_primary()
         # note: `<p>?x` tokenizes as a var — a bare `?` modifier needs
         # whitespace before the next term (documented grammar note)

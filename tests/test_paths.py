@@ -178,3 +178,29 @@ def test_path_over_emitted_artifact(spark, tmp_path_factory):
     )
     want = sorted(("a", o) for (s, o) in py_closure(EDGES) if s == "x")
     assert _pairs(got) == want  # x has no <next> edge -> empty is fine too
+
+
+def test_negated_property_set(spark, triples):
+    from gstored_spark.plans.paths import Neg
+
+    # forward-only: every edge whose predicate is not <next>
+    got = _pairs(path_edges(triples, Neg(("<next>",), ())))
+    assert got == [("a", "x"), ("x", "y")]
+    # mixed: pred not <knows> forward, unioned with reversed pred not <in>
+    got2 = set(
+        map(tuple, path_edges(triples, Neg(("<knows>",), ("<in>",))).collect())
+    )
+    fwd = {(s, o) for s, o in EDGES} | {("x", "y")}
+    rev = {(o, s) for s, o in EDGES} | {("x", "a")}
+    assert got2 == fwd | rev
+
+
+def test_negated_property_set_from_text(spark, triples):
+    got = _pairs(
+        run_sparql(triples, "SELECT ?s ?o WHERE { ?s !(<next>|<in>) ?o }")
+    )
+    assert got == [("a", "x")]
+    inv_only = _pairs(
+        run_sparql(triples, "SELECT ?s ?o WHERE { ?s !(^<next>|^<knows>) ?o }")
+    )
+    assert inv_only == [("y", "x")]
