@@ -643,6 +643,21 @@ def _q_sparql_agg_sum(spark, sf):
     )
 
 
+def _q_sparql_agg_text(spark, sf):
+    """GROUP_CONCAT (sorted, custom separator) + SAMPLE (deterministic
+    min): the remaining SPARQL 1.1 aggregate pair, grouped per nation over
+    the supplier slice."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    text = """
+        SELECT ?n (GROUP_CONCAT(?c; SEPARATOR=",") AS ?members)
+                  (SAMPLE(?c) AS ?one)
+        WHERE { ?c <in_nation> ?n . FILTER (REGEX(?c, "^supp")) }
+        GROUP BY ?n
+    """
+    return run_sparql(_graph_triples(spark, sf), text)
+
+
 def _q_construct_graph(spark, sf):
     """CONSTRUCT from text (graph-producing query form, S5-adjacent):
     template instantiation per solution, set semantics, incomplete
@@ -1035,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_groupby": _q_sparql_groupby,
         "sparql_bind_values": _q_sparql_bind_values,
         "sparql_agg_sum": _q_sparql_agg_sum,
+        "sparql_agg_text": _q_sparql_agg_text,
         "construct_graph": _q_construct_graph,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
@@ -1314,6 +1330,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(SUM(v) AS DOUBLE) AS total, COUNT(*) AS n, MIN(v) AS lo
             FROM b
+        """,
+        "sparql_agg_text": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT obj AS n,
+                   string_agg(subj, ',' ORDER BY subj) AS members,
+                   MIN(subj) AS one
+            FROM g WHERE pred = '<in_nation>' AND regexp_matches(subj, '^supp')
+            GROUP BY obj
         """,
         "construct_graph": f"""
             WITH g AS ({_GRAPH_SQL}),

@@ -58,7 +58,7 @@ _BUILTINS = {
     "isiri", "isuri", "isblank", "isliteral", "regex",
 }
 
-_AGGREGATES = {"count", "sum", "avg", "min", "max"}
+_AGGREGATES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
 
 
 @dataclass
@@ -701,6 +701,24 @@ class _Parser:
                 agg, kind = F.sum(_to_num(e)), NUM
             elif name == "avg":
                 agg, kind = F.avg(_to_num(e)), NUM
+            elif name == "group_concat":
+                # spec leaves concatenation order undefined — sort for a
+                # deterministic (hence testable/oracle-able) result
+                sep = " "
+                if self.at_op(";"):
+                    self.next()
+                    self.eat_kw("separator")
+                    self.eat_op("=")
+                    t = self.next()
+                    if t.kind != "string":
+                        raise ValueError(f"bad SEPARATOR {t}")
+                    sep = t.text[1 : t.text.rindex('"')]
+                agg = F.array_join(F.sort_array(F.collect_list(_to_str(e))), sep)
+                kind = STR
+            elif name == "sample":
+                # any value is legal — the minimum is the deterministic one
+                agg = F.min(e.col)
+                kind = e.kind
             elif name == "min":
                 agg = F.min(_to_num(e) if e.kind == NUM else e.col)
                 kind = e.kind

@@ -204,3 +204,17 @@ def test_negated_property_set_from_text(spark, triples):
         run_sparql(triples, "SELECT ?s ?o WHERE { ?s !(^<next>|^<knows>) ?o }")
     )
     assert inv_only == [("y", "x")]
+
+
+def test_squaring_closure_equals_semi_naive(spark, triples):
+    from gstored_spark.plans.paths import closure_pairs_squaring
+
+    edges = path_edges(triples, Link("<next>"))
+    got = set(map(tuple, closure_pairs_squaring(edges).collect()))
+    assert got == py_closure(EDGES)
+    # a deep chain converges in O(log n) doubling rounds
+    chain = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}") for i in range(40)], "s string, o string"
+    )
+    sq = set(map(tuple, closure_pairs_squaring(chain, max_rounds=8).collect()))
+    assert len(sq) == 40 * 41 // 2
