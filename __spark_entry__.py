@@ -658,6 +658,23 @@ def _q_sparql_agg_text(spark, sf):
     return run_sparql(_graph_triples(spark, sf), text)
 
 
+def _q_sparql_subselect(spark, sf):
+    """Nested { SELECT ... } (SPARQL 1.1 subquery): the inner aggregation
+    projects only its selected vars, then joins the outer pattern — each
+    member row annotated with its nation's member count."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    text = """
+        SELECT ?c ?n ?cnt WHERE {
+            ?c <in_nation> ?n .
+            { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in_nation> ?n }
+              GROUP BY ?n }
+            FILTER (REGEX(?c, "^supp"))
+        }
+    """
+    return run_sparql(_graph_triples(spark, sf), text)
+
+
 def _q_construct_graph(spark, sf):
     """CONSTRUCT from text (graph-producing query form, S5-adjacent):
     template instantiation per solution, set semantics, incomplete
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bind_values": _q_sparql_bind_values,
         "sparql_agg_sum": _q_sparql_agg_sum,
         "sparql_agg_text": _q_sparql_agg_text,
+        "sparql_subselect": _q_sparql_subselect,
         "construct_graph": _q_construct_graph,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
@@ -1338,6 +1356,13 @@ def oracle_sql() -> dict[str, str]:
                    MIN(subj) AS one
             FROM g WHERE pred = '<in_nation>' AND regexp_matches(subj, '^supp')
             GROUP BY obj
+        """,
+        "sparql_subselect": f"""
+            WITH g AS ({_GRAPH_SQL}),
+            m AS (SELECT subj AS c, obj AS n FROM g WHERE pred = '<in_nation>'),
+            k AS (SELECT n, COUNT(c) AS cnt FROM m GROUP BY n)
+            SELECT m.c, m.n, k.cnt FROM m JOIN k USING (n)
+            WHERE regexp_matches(m.c, '^supp')
         """,
         "construct_graph": f"""
             WITH g AS ({_GRAPH_SQL}),

@@ -297,6 +297,10 @@ class GroupPattern:
     path_patterns: list = None  # (s_term, paths-AST, o_term) — SPARQL 1.1
     binds: list = None  # (var_name, Column) — BIND(expr AS ?v)
     values_tables: list = None  # (var_names, rows) — inline VALUES data
+    # nested { SELECT ... } units: callables (triples, pred_counts,
+    # bgp_eval) -> DataFrame, built by the parser (plans/sparql.py) so the
+    # algebra stays ignorant of query-form plumbing; joined like `joins`
+    sub_evals: list = None
 
     def __post_init__(self):
         self.optionals = self.optionals or []
@@ -310,6 +314,7 @@ class GroupPattern:
         self.path_patterns = self.path_patterns or []
         self.binds = self.binds or []
         self.values_tables = self.values_tables or []
+        self.sub_evals = self.sub_evals or []
 
 
 def eval_group(
@@ -388,6 +393,13 @@ def eval_group(
             acc = joined
     for j in g.joins:
         jdf = _sub(j)
+        if acc is None:
+            acc = jdf
+        else:
+            shared = [c for c in acc.columns if c in jdf.columns]
+            acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
+    for f in g.sub_evals:
+        jdf = f(triples, pred_counts, bgp_eval)
         if acc is None:
             acc = jdf
         else:

@@ -490,6 +490,24 @@ class _Parser:
                 g.values_tables.append(self.parse_values())
                 if self.at_op("."):
                     self.next()
+            elif self.at_op("{") and (
+                (t1 := self.peek(1)) is not None
+                and t1.kind == "kw"
+                and t1.text.lower() == "select"
+            ):
+                # sub-SELECT: a full query evaluated as a relation, joined
+                # on its PROJECTED vars only (SPARQL 1.1 subquery scoping —
+                # inner non-projected vars are invisible outside)
+                self.next()
+                saved = self._pending_aggs
+                self._pending_aggs = []
+                subq = self.parse_query()
+                subq.aggregates = list(self._pending_aggs)
+                self._pending_aggs = saved
+                self.eat_op("}")
+                g.sub_evals.append(_make_subselect(subq))
+                if self.at_op("."):
+                    self.next()
             elif self.at_op("{"):
                 sub = self.parse_group()
                 if self.at_kw("union"):
@@ -1010,10 +1028,35 @@ def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> Da
     return _finish_query(q, df)
 
 
+def _make_subselect(q: "ParsedQuery"):
+    """Close a nested { SELECT ... } into the evaluator shape GroupPattern
+    carries (sub_evals): the full query tail (aggregation, modifiers,
+    projection) runs on the inner group, so only projected vars join the
+    outer relation."""
+
+    def _eval(triples, pred_counts=None, bgp_eval=None) -> DataFrame:
+        df = eval_group(triples, q.group, pred_counts=pred_counts, bgp_eval=bgp_eval)
+        return _finish_query(q, df)
+
+    _eval.query = q  # introspection hook (_has_paths walks into subselects)
+    return _eval
+
+
 def _has_paths(g: GroupPattern) -> bool:
-    return bool(g.path_patterns) or any(
-        _has_paths(sub)
-        for sub in g.unions + g.joins + g.optionals + g.minus + g.exists + g.not_exists
+    return (
+        bool(g.path_patterns)
+        or any(
+            _has_paths(sub)
+            for sub in g.unions
+            + g.joins
+            + g.optionals
+            + g.minus
+            + g.exists
+            + g.not_exists
+        )
+        or any(
+            _has_paths(f.query.group) for f in g.sub_evals if hasattr(f, "query")
+        )
     )
 
 

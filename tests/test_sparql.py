@@ -437,3 +437,28 @@ def test_construct_drops_incomplete_instantiations(spark, agg_triples):
         "CONSTRUCT { ?c <member_of> ?z } WHERE { ?c <in> ?n }",
     )
     assert out.count() == 0
+
+
+def test_subselect_scoping_and_join(spark, agg_triples):
+    out = run_sparql(
+        agg_triples,
+        """SELECT ?c ?n ?cnt WHERE {
+             ?c <in> ?n .
+             { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in> ?n } GROUP BY ?n }
+           }""",
+    )
+    # inner ?c is invisible outside (projected vars only join): every outer
+    # member row survives, annotated with its group's count
+    assert sorted(map(tuple, out.collect())) == [
+        ("c1", "n1", 2), ("c2", "n1", 2), ("c3", "n2", 1),
+    ]
+
+
+def test_group_concat_and_sample(spark, agg_triples):
+    out = run_sparql(
+        agg_triples,
+        'SELECT ?n (GROUP_CONCAT(?c; SEPARATOR="|") AS ?m) (SAMPLE(?c) AS ?s) '
+        "WHERE { ?c <in> ?n } GROUP BY ?n",
+    ).collect()
+    got = {r["n"]: (r["m"], r["s"]) for r in out}
+    assert got == {"n1": ("c1|c2", "c1"), "n2": ("c3", "c3")}
