@@ -1006,6 +1006,36 @@ def _q_mm_bytes(spark, sf):
     return byte_features(d).select("media_id", "n_bytes")
 
 
+def _q_sample_uniform(spark, sf):
+    """Deterministic hash sample (operators/sampling.py): membership from
+    md5(doc_id) alone — stable under repartition/resume, re-derivable
+    row-for-row (the DuckDB oracle reproduces the exact row set)."""
+    from gstored_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
+def _q_sample_strata(spark, sf):
+    """Stratified sampling per language (downsample dominant strata, keep
+    rare ones) — a CASE-threshold scan predicate, no join/shuffle."""
+    from gstored_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "de": 0.5}, default=1.0
+    ).select("doc_id", "lang")
+
+
+def _q_train_split(spark, sf):
+    """Key-hash train/holdout assignment: a document never migrates
+    between splits as the corpus grows (contamination-proof versioning)."""
+    from gstored_spark.operators.sampling import train_holdout_split
+
+    docs = _t(spark, sf, "documents")
+    return train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split")
+
+
 def _q_kg_triples(spark, sf):
     """Full KG pipeline on a 64-doc synthetic corpus, scored against the
     generator's own gold triples: one row (n_gold, n_pred, n_hit). The
@@ -1094,6 +1124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "winnow": _q_winnow,
         "mm_bytes": _q_mm_bytes,
+        "sample_uniform": _q_sample_uniform,
+        "sample_strata": _q_sample_strata,
+        "train_split": _q_train_split,
         "kg_triples": _q_kg_triples,
     }
 
@@ -1798,6 +1831,26 @@ def oracle_sql() -> dict[str, str]:
         "mm_bytes": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "sample_uniform": """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) < 4194304
+        """,
+        "sample_strata": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT)
+                < CASE lang WHEN 'en' THEN 1677721 WHEN 'de' THEN 8388608
+                            ELSE 16777216 END
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                   || 'split'), 1, 6))
+                             AS BIGINT) < 1677721
+                        THEN 'holdout' ELSE 'train' END AS split
             FROM documents
         """,
     }
