@@ -1036,6 +1036,27 @@ def _q_train_split(spark, sf):
     return train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split")
 
 
+def _q_pii_redact(spark, sf):
+    """PII scrubbing (operators/redact.py): map-only regexp_replace chain,
+    RE2-compatible patterns so the oracle reproduces byte-exact output.
+    The fixture plants a deterministic email + IP per document so the
+    redaction visibly rewrites every row."""
+    from gstored_spark.operators.redact import redact_pii
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+
+
 def _q_kg_triples(spark, sf):
     """Full KG pipeline on a 64-doc synthetic corpus, scored against the
     generator's own gold triples: one row (n_gold, n_pred, n_hit). The
@@ -1127,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniform": _q_sample_uniform,
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
+        "pii_redact": _q_pii_redact,
         "kg_triples": _q_kg_triples,
     }
 
@@ -1852,5 +1874,28 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) < 1677721
                         THEN 'holdout' ELSE 'train' END AS split
             FROM documents
+        """,
+        "pii_redact": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                    AS n_email,
+                CAST(len(regexp_extract_all(text,
+                    '(\d{1,3}\.){3}\d{1,3}')) AS INT) AS n_ip,
+                CAST(len(regexp_extract_all(text,
+                    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS INT) AS n_phone,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
+                    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS redacted
+            FROM t
         """,
     }
