@@ -658,6 +658,24 @@ def _q_sparql_agg_text(spark, sf):
     return run_sparql(_graph_triples(spark, sf), text)
 
 
+def _q_string_funcs(spark, sf):
+    """SPARQL 1.1 string/conditional builtins (UCASE/STRLEN/STRBEFORE/
+    STRAFTER/IF/STRSTARTS) as BIND expressions — all pure column exprs."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    text = """
+        SELECT ?c ?up ?l ?pre ?post ?kind WHERE {
+            ?c <in_nation> ?n .
+            BIND(UCASE(?c) AS ?up)
+            BIND(STRLEN(?c) AS ?l)
+            BIND(STRBEFORE(?c, ":") AS ?pre)
+            BIND(STRAFTER(?c, ":") AS ?post)
+            BIND(IF(STRSTARTS(?c, "supp"), "supplier", "customer") AS ?kind)
+        }
+    """
+    return run_sparql(_graph_triples(spark, sf), text)
+
+
 def _q_sparql_subselect(spark, sf):
     """Nested { SELECT ... } (SPARQL 1.1 subquery): the inner aggregation
     projects only its selected vars, then joins the outer pattern — each
@@ -1120,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_agg_sum": _q_sparql_agg_sum,
         "sparql_agg_text": _q_sparql_agg_text,
         "sparql_subselect": _q_sparql_subselect,
+        "string_funcs": _q_string_funcs,
         "construct_graph": _q_construct_graph,
         "sparql_blocks": _q_sparql_blocks,
         "term_funcs": _q_term_funcs,
@@ -1418,6 +1437,21 @@ def oracle_sql() -> dict[str, str]:
             k AS (SELECT n, COUNT(c) AS cnt FROM m GROUP BY n)
             SELECT m.c, m.n, k.cnt FROM m JOIN k USING (n)
             WHERE regexp_matches(m.c, '^supp')
+        """,
+        "string_funcs": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT subj AS c,
+                   upper(subj) AS up,
+                   CAST(length(subj) AS INT) AS l,
+                   CASE WHEN strpos(subj, ':') > 0
+                        THEN substr(subj, 1, strpos(subj, ':') - 1)
+                        ELSE '' END AS pre,
+                   CASE WHEN strpos(subj, ':') > 0
+                        THEN substr(subj, strpos(subj, ':') + 1)
+                        ELSE '' END AS post,
+                   CASE WHEN subj LIKE 'supp%' THEN 'supplier'
+                        ELSE 'customer' END AS kind
+            FROM g WHERE pred = '<in_nation>'
         """,
         "construct_graph": f"""
             WITH g AS ({_GRAPH_SQL}),

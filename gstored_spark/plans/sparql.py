@@ -56,6 +56,11 @@ _TOKEN = re.compile(
 _BUILTINS = {
     "str", "lang", "langmatches", "datatype", "bound", "sameterm",
     "isiri", "isuri", "isblank", "isliteral", "regex",
+    # SPARQL 1.1 string/numeric/conditional builtins (beyond the
+    # reference's QueryTree.h:118-119 set) — all pure column expressions
+    "concat", "strlen", "ucase", "lcase", "contains", "strstarts",
+    "strends", "substr", "replace", "strbefore", "strafter",
+    "abs", "ceil", "floor", "round", "if", "coalesce",
 }
 
 _AGGREGATES = {"count", "sum", "avg", "min", "max", "group_concat", "sample"}
@@ -783,6 +788,68 @@ class _Parser:
                     pat,
                 )
             return Expr(BOOL, F.regexp_like(_to_str(a0), pat), vars_)
+        # SPARQL 1.1 string functions — all operate on the value space
+        if name == "concat":
+            return Expr(STR, F.concat(*[_to_str(a) for a in args]), vars_)
+        if name == "strlen":
+            return Expr(NUM, F.length(_to_str(a0)), vars_)
+        if name == "ucase":
+            return Expr(STR, F.upper(_to_str(a0)), vars_)
+        if name == "lcase":
+            return Expr(STR, F.lower(_to_str(a0)), vars_)
+        if name == "contains":
+            return Expr(BOOL, _to_str(a0).contains(_to_str(args[1])), vars_)
+        if name == "strstarts":
+            return Expr(BOOL, _to_str(a0).startswith(_to_str(args[1])), vars_)
+        if name == "strends":
+            return Expr(BOOL, _to_str(a0).endswith(_to_str(args[1])), vars_)
+        if name == "substr":
+            # SPARQL SUBSTR is 1-based like Spark's substr
+            length = _to_num(args[2]).cast("int") if len(args) > 2 else F.lit(1 << 30)
+            return Expr(
+                STR, _to_str(a0).substr(_to_num(args[1]).cast("int"), length), vars_
+            )
+        if name == "replace":
+            return Expr(
+                STR,
+                F.regexp_replace(_to_str(a0), _to_str(args[1]), _to_str(args[2])),
+                vars_,
+            )
+        if name == "strbefore":
+            s, sep = _to_str(a0), _to_str(args[1])
+            pos = F.instr(s, sep)
+            return Expr(
+                STR, F.when(pos > 0, s.substr(F.lit(1), pos - 1)).otherwise(F.lit("")), vars_
+            )
+        if name == "strafter":
+            # after the FIRST occurrence (substring_index(-1) would take the
+            # last) — substr from pos + len(sep)
+            s, sep = _to_str(a0), _to_str(args[1])
+            pos = F.instr(s, sep)
+            return Expr(
+                STR,
+                F.when(
+                    pos > 0, s.substr(pos + F.length(sep), F.lit(1 << 30))
+                ).otherwise(F.lit("")),
+                vars_,
+            )
+        if name == "abs":
+            return Expr(NUM, F.abs(_to_num(a0)), vars_)
+        if name == "ceil":
+            return Expr(NUM, F.ceil(_to_num(a0)).cast("double"), vars_)
+        if name == "floor":
+            return Expr(NUM, F.floor(_to_num(a0)).cast("double"), vars_)
+        if name == "round":
+            return Expr(NUM, F.round(_to_num(a0), 0), vars_)
+        if name == "if":
+            # IF(cond, then, else): result kind follows the THEN branch
+            return Expr(
+                args[1].kind,
+                F.when(_to_bool(a0), args[1].col).otherwise(args[2].col),
+                vars_,
+            )
+        if name == "coalesce":
+            return Expr(a0.kind, F.coalesce(*[a.col for a in args]), vars_)
         raise ValueError(f"unsupported builtin {name}")
 
 

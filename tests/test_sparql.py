@@ -462,3 +462,47 @@ def test_group_concat_and_sample(spark, agg_triples):
     ).collect()
     got = {r["n"]: (r["m"], r["s"]) for r in out}
     assert got == {"n1": ("c1|c2", "c1"), "n2": ("c3", "c3")}
+
+
+def test_string_and_conditional_builtins(spark):
+    t = spark.createDataFrame(
+        [("a", "<name>", '"Alice Smith"@en'), ("b", "<name>", '"bob"')],
+        "subj string, pred string, obj string",
+    )
+    out = run_sparql(
+        t,
+        """SELECT ?s ?up ?l ?first ?before ?after ?iffy ?cat WHERE {
+             ?s <name> ?n .
+             BIND(UCASE(?n) AS ?up)
+             BIND(STRLEN(?n) AS ?l)
+             BIND(SUBSTR(?n, 1, 3) AS ?first)
+             BIND(STRBEFORE(?n, " ") AS ?before)
+             BIND(STRAFTER(?n, " ") AS ?after)
+             BIND(IF(CONTAINS(?n, "Smith"), "hit", "miss") AS ?iffy)
+             BIND(CONCAT(?s, "/", LCASE(?n)) AS ?cat)
+           }""",
+    )
+    got = {r["s"]: r for r in out.collect()}
+    a = got["a"]
+    assert (a["up"], a["l"], a["first"]) == ("ALICE SMITH", 11, "Ali")
+    assert (a["before"], a["after"], a["iffy"]) == ("Alice", "Smith", "hit")
+    assert a["cat"] == "a/alice smith"
+    b = got["b"]
+    # separator absent -> STRBEFORE/STRAFTER return "" (spec)
+    assert (b["before"], b["after"], b["iffy"]) == ("", "", "miss")
+
+
+def test_numeric_builtins(spark):
+    t = spark.createDataFrame(
+        [("x", "<v>", '"-2.6"^^<http://www.w3.org/2001/XMLSchema#decimal>')],
+        "subj string, pred string, obj string",
+    )
+    (r,) = run_sparql(
+        t,
+        """SELECT ?a ?c ?f ?r WHERE {
+             ?s <v> ?v .
+             BIND(ABS(?v) AS ?a) BIND(CEIL(?v) AS ?c)
+             BIND(FLOOR(?v) AS ?f) BIND(ROUND(?v) AS ?r)
+           }""",
+    ).collect()
+    assert (r["a"], r["c"], r["f"], r["r"]) == (2.6, -2.0, -3.0, -3.0)
