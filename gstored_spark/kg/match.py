@@ -688,3 +688,93 @@ def match_with_signatures(
         if degrees.get(v, 0) >= min_degree and v in entity_only
     }
     return match_bgp(triples, patterns, projection=projection, candidates=candidates)
+
+
+def path_pattern_over_blocks(artifact, s_term, path, o_term, idx: int = 0):
+    """SPARQL 1.1 path pattern answered FROM THE STORE at ID LEVEL — the
+    scale placement: Link edges scan only their pbucket= directory (the
+    predicate-first p2s/p2o order), closures iterate over LONG id pairs
+    (whole-stage-codegen joins, no string hashing), and only the RESULT
+    endpoint columns decode through the dictionary (StringIndex placement,
+    GeneralEvaluation.cpp:2939-2970). Decoding the whole triple bag first
+    — the naive placement — pays three dictionary joins over every stored
+    triple before the path even starts.
+
+    Path AST predicate IRIs translate to ids driver-side (the predicate
+    dictionary is tiny and cached); endpoint constants encode via a
+    bounded dictionary probe; an unknown IRI/term maps to -1 and matches
+    nothing, exactly like a dictionary miss in the BGP path (this includes
+    the zero-length `<off-graph> <p>* ?o` self-match the flat-view
+    evaluator preserves — a term absent from the store's dictionary has no
+    id to bind)."""
+    from gstored_spark.plans import paths as PP
+    from gstored_spark.plans.bgp import is_var
+
+    pred_ids = _cached_pred_ids(artifact)
+
+    def translate(p):
+        if isinstance(p, PP.Link):
+            return PP.Link(pred_ids.get(p.iri, -1))
+        if isinstance(p, PP.Inv):
+            return PP.Inv(translate(p.path))
+        if isinstance(p, PP.Seq):
+            return PP.Seq(tuple(translate(x) for x in p.parts))
+        if isinstance(p, PP.Alt):
+            return PP.Alt(tuple(translate(x) for x in p.parts))
+        if isinstance(p, PP.Repeat):
+            return PP.Repeat(translate(p.path), p.op)
+        if isinstance(p, PP.Neg):
+            return PP.Neg(
+                tuple(pred_ids.get(i, -1) for i in p.forward),
+                tuple(pred_ids.get(i, -1) for i in p.inverse),
+            )
+        raise ValueError(f"unknown path node {p!r}")
+
+    from gstored_spark.kg.blocks import triples_from_adjacency
+
+    tbp = artifact.triples_by_pred
+    ids = (
+        tbp.select("s", "p", "o")
+        if tbp is not None
+        else triples_from_adjacency(artifact.adjacency)
+    )
+    id_view = ids.toDF("subj", "pred", "obj")
+
+    link_edges = None
+    if tbp is not None:
+        k = artifact.pred_buckets
+
+        def link_edges(pid):
+            # atomic Link access path: pbucket= directory pruning + pushed
+            # p filter (the p2s/p2o probe), not a full-view scan
+            return tbp.filter(
+                (F.col("pbucket") == pid % k) & (F.col("p") == pid)
+            ).select("s", "o")
+
+    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+    consts = [t for t in (s_term, o_term) if not is_var(t)]
+    cmap = (
+        {
+            r["term"]: r["id"]
+            for r in term_dict.filter(F.col("term").isin(consts)).collect()
+        }
+        if consts
+        else {}
+    )
+
+    def enc(term):
+        return term if is_var(term) else cmap.get(term, -1)
+
+    bindings = PP.eval_path_pattern(
+        id_view, enc(s_term), translate(path), enc(o_term), idx=idx,
+        link_edges=link_edges,
+    )
+    out_vars = [c for c in bindings.columns if not c.startswith("_const_")]
+    decoded = bindings
+    for v in out_vars:
+        decoded = decoded.withColumnRenamed(v, f"_{v}_id")
+        decoded = decoded.join(
+            term_dict.select(F.col("id").alias(f"_{v}_id"), F.col("term").alias(v)),
+            f"_{v}_id",
+        ).drop(f"_{v}_id")
+    return decoded.select(*bindings.columns)

@@ -322,6 +322,7 @@ def eval_group(
     g: GroupPattern,
     pred_counts: dict[str, int] | None = None,
     bgp_eval=None,
+    path_eval=None,
 ) -> DataFrame:
     """Evaluate a GroupPattern to a bindings DataFrame.
 
@@ -347,21 +348,26 @@ def eval_group(
         return match_bgp(triples, pats, pred_counts=pred_counts)
 
     def _sub(grp):
-        return eval_group(triples, grp, pred_counts, bgp_eval)
+        return eval_group(triples, grp, pred_counts, bgp_eval, path_eval)
 
     acc = _leaf(g.patterns) if g.patterns else None
     for i, (s_t, pth, o_t) in enumerate(g.path_patterns):
-        # SPARQL 1.1 path patterns (plans/paths.py) evaluate over the flat
-        # triples relation and join the base like any other leaf
+        # SPARQL 1.1 path patterns (plans/paths.py): `path_eval` overrides
+        # the leaf evaluator (the store-backed id-level one,
+        # kg.match.path_pattern_over_blocks); default evaluates over the
+        # flat triples relation. Either way the result joins like a leaf.
         from gstored_spark.plans.paths import eval_path_pattern
 
-        if triples is None:
+        if path_eval is not None:
+            pdf = path_eval(s_t, pth, o_t, i)
+        elif triples is None:
             raise ValueError(
                 "property paths need a triples relation: pass one to "
                 "eval_group (artifact callers: run_sparql_over_artifact "
-                "builds the decoded view automatically)"
+                "routes paths to the store-backed evaluator)"
             )
-        pdf = eval_path_pattern(triples, s_t, pth, o_t, idx=i)
+        else:
+            pdf = eval_path_pattern(triples, s_t, pth, o_t, idx=i)
         if acc is None:
             acc = pdf
         else:
@@ -399,7 +405,7 @@ def eval_group(
             shared = [c for c in acc.columns if c in jdf.columns]
             acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
     for f in g.sub_evals:
-        jdf = f(triples, pred_counts, bgp_eval)
+        jdf = f(triples, pred_counts, bgp_eval, path_eval)
         if acc is None:
             acc = jdf
         else:

@@ -189,23 +189,30 @@ def reachable_from(
     raise RuntimeError(f"reachability did not converge in {max_rounds} rounds")
 
 
-def path_edges(triples: DataFrame, path) -> DataFrame:
+def path_edges(triples: DataFrame, path, link_edges=None) -> DataFrame:
     """Compile a path expression to its (s, o) endpoint-pair relation.
 
     seq/alt preserve bag multiplicity (SPARQL path algebra); Repeat is
     set-semantics by spec. Zero-length contributions of `*`/`?` bind every
-    graph node to itself."""
+    graph node to itself.
+
+    ``link_edges``: optional physical-access override for atomic Links —
+    the store-backed evaluator routes each predicate to its pbucket=
+    directory (predicate-first order) instead of filtering the full view;
+    Neg keeps the full view (negation is inherently multi-predicate)."""
     if isinstance(path, Link):
+        if link_edges is not None:
+            return link_edges(path.iri)
         return triples.filter(F.col("pred") == path.iri).select(
             F.col("subj").alias("s"), F.col("obj").alias("o")
         )
     if isinstance(path, Inv):
-        e = path_edges(triples, path.path)
+        e = path_edges(triples, path.path, link_edges)
         return e.select(F.col("o").alias("s"), F.col("s").alias("o"))
     if isinstance(path, Seq):
-        acc = path_edges(triples, path.parts[0])
+        acc = path_edges(triples, path.parts[0], link_edges)
         for part in path.parts[1:]:
-            nxt = path_edges(triples, part).select(
+            nxt = path_edges(triples, part, link_edges).select(
                 F.col("s").alias("__m"), F.col("o").alias("__n")
             )
             acc = (
@@ -215,9 +222,9 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
             )
         return acc
     if isinstance(path, Alt):
-        acc = path_edges(triples, path.parts[0])
+        acc = path_edges(triples, path.parts[0], link_edges)
         for part in path.parts[1:]:
-            acc = acc.unionAll(path_edges(triples, part))
+            acc = acc.unionAll(path_edges(triples, part, link_edges))
         return acc
     if isinstance(path, Neg):
         parts = []
@@ -238,7 +245,7 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
             acc = acc.unionAll(p)
         return acc
     if isinstance(path, Repeat):
-        inner = path_edges(triples, path.path)
+        inner = path_edges(triples, path.path, link_edges)
         if path.op == "+":
             return closure_pairs(inner)
         ident = graph_nodes(triples).select(
@@ -261,7 +268,7 @@ def _is_var(term) -> bool:
 
 
 def eval_path_pattern(
-    triples: DataFrame, s_term, path, o_term, idx: int = 0
+    triples: DataFrame, s_term, path, o_term, idx: int = 0, link_edges=None
 ) -> DataFrame:
     """Bindings of one path triple pattern.
 
@@ -272,14 +279,15 @@ def eval_path_pattern(
     spark = triples.sparkSession
     fast = isinstance(path, Repeat) and not (_is_var(s_term) and _is_var(o_term))
     if fast:
-        inner = path_edges(triples, path.path)
+        inner = path_edges(triples, path.path, link_edges)
         if not _is_var(s_term):
             const, var, edges = s_term, o_term, inner
         else:
             # bound object: reverse the edges and BFS from the object side
             const, var = o_term, s_term
             edges = inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
-        seed = spark.createDataFrame([(const,)], "n string")
+        seed_type = "long" if isinstance(const, int) else "string"
+        seed = spark.createDataFrame([(const,)], f"n {seed_type}")
         if path.op == "?":
             reach = (
                 edges.filter(F.col("s") == const)
@@ -300,7 +308,7 @@ def eval_path_pattern(
             F.lit(1).alias(f"_const_{idx}")
         )
 
-    pairs = path_edges(triples, path)
+    pairs = path_edges(triples, path, link_edges)
     if _is_var(s_term) and _is_var(o_term):
         if s_term == o_term:
             return pairs.filter(F.col("s") == F.col("o")).select(

@@ -1090,8 +1090,14 @@ def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> Da
         ev = lambda pats: match_partitioned(artifact, pats)  # noqa: E731
     else:
         ev = lambda pats: match_over_blocks(artifact, pats)  # noqa: E731
-    tv = _artifact_triples_view(artifact) if _has_paths(q.group) else None
-    df = eval_group(tv, q.group, bgp_eval=ev)
+    pe = None
+    if _has_paths(q.group):
+        from gstored_spark.kg.match import path_pattern_over_blocks
+
+        pe = lambda s, p, o, i: path_pattern_over_blocks(  # noqa: E731
+            artifact, s, p, o, i
+        )
+    df = eval_group(None, q.group, bgp_eval=ev, path_eval=pe)
     return _finish_query(q, df)
 
 
@@ -1101,8 +1107,11 @@ def _make_subselect(q: "ParsedQuery"):
     projection) runs on the inner group, so only projected vars join the
     outer relation."""
 
-    def _eval(triples, pred_counts=None, bgp_eval=None) -> DataFrame:
-        df = eval_group(triples, q.group, pred_counts=pred_counts, bgp_eval=bgp_eval)
+    def _eval(triples, pred_counts=None, bgp_eval=None, path_eval=None) -> DataFrame:
+        df = eval_group(
+            triples, q.group,
+            pred_counts=pred_counts, bgp_eval=bgp_eval, path_eval=path_eval,
+        )
         return _finish_query(q, df)
 
     _eval.query = q  # introspection hook (_has_paths walks into subselects)
@@ -1125,27 +1134,6 @@ def _has_paths(g: GroupPattern) -> bool:
             _has_paths(f.query.group) for f in g.sub_evals if hasattr(f, "query")
         )
     )
-
-
-def _artifact_triples_view(artifact) -> DataFrame:
-    """Decoded (subj, pred, obj) string view of the store, for path
-    evaluation: the predicate-first table when present (already the triple
-    bag in p-order), else adjacency reconstitution; ids decoded through the
-    dictionaries (StringIndex placement)."""
-    from gstored_spark.kg.blocks import triples_from_adjacency
-    from gstored_spark.kg.ids import decode_ids
-
-    tbp = getattr(artifact, "triples_by_pred", None)
-    ids = (
-        tbp.select("s", "p", "o")
-        if tbp is not None
-        else triples_from_adjacency(artifact.adjacency)
-    )
-    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
-    df = decode_ids(ids, "s", term_dict, "subj")
-    df = decode_ids(df, "p", artifact.pred_dict, "pred")
-    df = decode_ids(df, "o", term_dict, "obj")
-    return df.select("subj", "pred", "obj")
 
 
 def _finish_query(q: "ParsedQuery", df: DataFrame) -> DataFrame:

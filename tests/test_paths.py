@@ -218,3 +218,58 @@ def test_squaring_closure_equals_semi_naive(spark, triples):
     )
     sq = set(map(tuple, closure_pairs_squaring(chain, max_rounds=8).collect()))
     assert len(sq) == 40 * 41 // 2
+
+
+def test_store_path_link_scans_pbucket_only(spark, tmp_path_factory):
+    """A store-backed path Link must scan its pbucket= directory with the
+    pushed p filter (predicate-first probe), never the adjacency store, and
+    the closure must run at id level (long join keys), decoding results
+    only."""
+    import re
+
+    from gstored_spark.kg import blocks as B
+    from gstored_spark.kg import ids as I
+    from gstored_spark.kg import partition as P
+    from gstored_spark.kg.match import path_pattern_over_blocks
+    from gstored_spark.kg.pipeline import PipelineResult
+
+    rows = [(s, "<next>", o, True) for s, o in EDGES]
+    rows += [("a", "<knows>", "x", True)]
+    triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
+    entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+    id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+    routed = P.route_triples(id_triples, 2)
+    internal = P.internal_vertices(routed, 2)
+    adj = B.adjacency(routed, internal)
+    sigs = B.vertex_signatures(triples, pred_dict, entity_dict)
+    part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
+    res = PipelineResult(
+        triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,
+        pred_dict=pred_dict, id_triples=id_triples, routed=routed,
+        internal=internal, adjacency=adj, signatures=sigs, part_sig=part_sig,
+    )
+    out_dir = str(tmp_path_factory.mktemp("path_pbucket"))
+    B.write_artifact(res, out_dir)
+    art = B.GraphArtifact(spark, out_dir)
+
+    # a Seq keeps a lazy plan (closures checkpoint eagerly, hiding the
+    # scan), so the access path is assertable here; the id-level closure
+    # correctness over the same store is covered by
+    # test_path_over_emitted_artifact
+    out = path_pattern_over_blocks(
+        art, "?s", Seq((Link("<knows>"), Link("<next>"))), "?o"
+    )
+    jqe = out._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = jqe.explainString(mode)
+    assert "triples_by_pred" in plan
+    assert "/adjacency" not in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*pbucket", plan), plan[:2000]
+    got = {(r["s"], r["o"]) for r in out.collect()}
+    assert got == {("a", "y")}  # a -knows-> x -next-> y
+    plus = path_pattern_over_blocks(art, "a", Repeat(Link("<next>"), "+"), "?o")
+    assert {r["o"] for r in plus.collect()} == {
+        o for (s, o) in py_closure(EDGES) if s == "a"
+    }
