@@ -590,6 +590,18 @@ def _q_path_alt_inv(spark, sf):
     )
 
 
+def _q_path_blocks(spark, sf):
+    """Sequence path answered FROM THE EMITTED STORE: each link scans its
+    pbucket= directory at id level, the join runs on long keys, and only
+    the result endpoints decode (kg/match.py path_pattern_over_blocks)."""
+    from gstored_spark.plans.sparql import run_sparql_over_artifact
+
+    art = _graph_artifact(spark, sf)
+    return run_sparql_over_artifact(
+        art, "SELECT ?o ?r WHERE { ?o <placed_by>/<in_nation> ?r }"
+    )
+
+
 def _q_sparql_groupby(spark, sf):
     """SPARQL 1.1 GROUP BY + HAVING from text (the reference's grammar has
     no aggregate surface, SURVEY §2.5): aggregates compile to hidden agg
@@ -1133,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_star_reach": _q_path_star_reach,
         "path_seq": _q_path_seq,
         "path_alt_inv": _q_path_alt_inv,
+        "path_blocks": _q_path_blocks,
         "sparql_groupby": _q_sparql_groupby,
         "sparql_bind_values": _q_sparql_bind_values,
         "sparql_agg_sum": _q_sparql_agg_sum,
@@ -1403,6 +1416,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS x, obj AS y FROM g WHERE pred = '<in_nation>'
             UNION ALL
             SELECT obj AS x, subj AS y FROM g WHERE pred = '<placed_by>'
+        """,
+        "path_blocks": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT t1.subj AS o, t2.obj AS r
+            FROM g t1 JOIN g t2 ON t1.obj = t2.subj
+            WHERE t1.pred = '<placed_by>' AND t2.pred = '<in_nation>'
         """,
         "sparql_groupby": f"""
             WITH g AS ({_GRAPH_SQL})
