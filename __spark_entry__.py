@@ -590,6 +590,14 @@ def _q_path_alt_inv(spark, sf):
     )
 
 
+def _q_describe_node(spark, sf):
+    """DESCRIBE query form: one-hop concise description of a resource —
+    two semi-joins over the triple bag, set semantics."""
+    from gstored_spark.plans.sparql import run_sparql
+
+    return run_sparql(_graph_triples(spark, sf), 'DESCRIBE "nat:7"')
+
+
 def _q_path_blocks(spark, sf):
     """Sequence path answered FROM THE EMITTED STORE: each link scans its
     pbucket= directory at id level, the join runs on long keys, and only
@@ -1146,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_seq": _q_path_seq,
         "path_alt_inv": _q_path_alt_inv,
         "path_blocks": _q_path_blocks,
+        "describe_node": _q_describe_node,
         "sparql_groupby": _q_sparql_groupby,
         "sparql_bind_values": _q_sparql_bind_values,
         "sparql_agg_sum": _q_sparql_agg_sum,
@@ -1416,6 +1425,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS x, obj AS y FROM g WHERE pred = '<in_nation>'
             UNION ALL
             SELECT obj AS x, subj AS y FROM g WHERE pred = '<placed_by>'
+        """,
+        "describe_node": f"""
+            WITH g AS ({_GRAPH_SQL})
+            SELECT DISTINCT subj, pred, obj FROM g
+            WHERE subj = 'nat:7' OR obj = 'nat:7'
         """,
         "path_blocks": f"""
             WITH g AS ({_GRAPH_SQL})

@@ -350,6 +350,32 @@ class _Parser:
                 self.next()
             g = self.parse_group()
             return ParsedQuery("ask", None, g)
+        if self.at_kw("describe"):
+            # DESCRIBE <term>... [WHERE { group }]: the description of a
+            # resource set is every stored triple touching it (the common
+            # concise-bound-description reading, one hop, both directions)
+            self.next()
+            terms: list[str] = []
+            while True:
+                t = self.peek()
+                if t is None or (t.kind == "kw" and t.text.lower() == "where"):
+                    break
+                if t.kind == "op" and t.text == "{":
+                    break
+                term = self.triple_term()
+                if term.startswith('"') and term.endswith('"'):
+                    term = term[1:-1]  # plain literal -> value space (same
+                    # compare-on-value convention as VALUES/FILTER constants)
+                terms.append(term)
+            g = GroupPattern(patterns=[])
+            if self.at_kw("where"):
+                self.next()
+            if self.at_op("{"):
+                g = self.parse_group()
+            q = ParsedQuery("describe", None, g)
+            q.templates = terms  # reuse the field: described terms/vars
+            self.parse_modifiers(q)
+            return q
         if self.at_kw("construct"):
             # CONSTRUCT { templates } WHERE { group }: the produced graph is
             # a SET of instantiated triples (incomplete instantiations —
@@ -1067,8 +1093,42 @@ def run_sparql(triples: DataFrame, text: str, pred_counts="auto") -> DataFrame:
         pred_counts = (
             predicate_counts(triples) if _needs_ordering(q.group) else None
         )
+    if q.form == "describe":
+        return _describe_query(triples, q, pred_counts=pred_counts)
     df = eval_group(triples, q.group, pred_counts=pred_counts)
     return _finish_query(q, df)
+
+
+def _describe_query(
+    triples: DataFrame, q: "ParsedQuery", pred_counts=None
+) -> DataFrame:
+    """DESCRIBE: the one-hop concise description — every stored triple whose
+    subject OR object is a described resource (constants listed directly;
+    vars resolved by evaluating the WHERE group). Two semi-joins over the
+    triple bag, set semantics."""
+    spark = triples.sparkSession
+    consts = [t for t in q.templates if not t.startswith("?")]
+    vars_ = [t[1:] for t in q.templates if t.startswith("?")]
+    nodes: DataFrame | None = None
+    if consts:
+        nodes = spark.createDataFrame([(c,) for c in consts], "n string")
+    if vars_:
+        b = eval_group(triples, q.group, pred_counts=pred_counts)
+        for v in vars_:
+            nv = b.select(F.col(v).alias("n"))
+            nodes = nv if nodes is None else nodes.unionAll(nv)
+    if nodes is None:
+        raise ValueError("DESCRIBE needs at least one term or var")
+    nodes = nodes.distinct()
+    by_subj = triples.join(
+        nodes.withColumnRenamed("n", "subj"), "subj", "leftsemi"
+    ).select("subj", "pred", "obj")
+    by_obj = triples.join(
+        nodes.withColumnRenamed("n", "obj"), "obj", "leftsemi"
+    ).select("subj", "pred", "obj")
+    return modifiers(
+        by_subj.unionAll(by_obj).distinct(), limit=q.limit, offset=q.offset
+    )
 
 
 def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> DataFrame:

@@ -506,3 +506,19 @@ def test_numeric_builtins(spark):
            }""",
     ).collect()
     assert (r["a"], r["c"], r["f"], r["r"]) == (2.6, -2.0, -3.0, -3.0)
+
+
+def test_describe_constant_and_var(spark, agg_triples):
+    # constant: every triple touching n1 (as subj or obj)
+    out = run_sparql(agg_triples, 'DESCRIBE "n1"')
+    assert {tuple(r) for r in out.collect()} == {
+        ("c1", "<in>", "n1"), ("c2", "<in>", "n1"),
+    }
+    # var form: describe members of n2 -> their triples in BOTH directions
+    out2 = run_sparql(
+        agg_triples, 'DESCRIBE ?c WHERE { ?c <in> ?n . VALUES ?n { "n2" } }'
+    )
+    got = {tuple(r) for r in out2.collect()}
+    assert ("c3", "<in>", "n2") in got and ("c3", "<bal>",
+        '"5"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
+    assert len(got) == 2
