@@ -1157,8 +1157,58 @@ def run_sparql_over_artifact(artifact, text: str, assembled: bool = False) -> Da
         pe = lambda s, p, o, i: path_pattern_over_blocks(  # noqa: E731
             artifact, s, p, o, i
         )
+    if q.form == "describe":
+        return _describe_over_artifact(artifact, q, ev, pe)
     df = eval_group(None, q.group, bgp_eval=ev, path_eval=pe)
     return _finish_query(q, df)
+
+
+def _describe_over_artifact(artifact, q: "ParsedQuery", ev, pe) -> DataFrame:
+    """DESCRIBE against the store at the scale placement: the resource set
+    encodes to ids through the dictionary (a join, never a collect), the
+    two directional semi-joins run over the ID triple bag (long keys), and
+    only the MATCHING triples decode — the naive placement decodes every
+    stored triple before filtering."""
+    from gstored_spark.kg.blocks import triples_from_adjacency
+    from gstored_spark.kg.ids import decode_ids
+
+    spark = artifact.adjacency.sparkSession
+    consts = [t for t in q.templates if not t.startswith("?")]
+    vars_ = [t[1:] for t in q.templates if t.startswith("?")]
+    nodes: DataFrame | None = None
+    if consts:
+        nodes = spark.createDataFrame([(c,) for c in consts], "n string")
+    if vars_:
+        b = eval_group(None, q.group, bgp_eval=ev, path_eval=pe)
+        for v in vars_:
+            nv = b.select(F.col(v).alias("n"))
+            nodes = nv if nodes is None else nodes.unionAll(nv)
+    if nodes is None:
+        raise ValueError("DESCRIBE needs at least one term or var")
+    term_dict = artifact.entity_dict.unionByName(artifact.literal_dict)
+    node_ids = (
+        nodes.distinct()
+        .join(term_dict.withColumnRenamed("term", "n"), "n")
+        .select("id")
+    )
+    tbp = artifact.triples_by_pred
+    ids = (
+        tbp.select("s", "p", "o")
+        if tbp is not None
+        else triples_from_adjacency(artifact.adjacency)
+    )
+    hits = ids.join(
+        node_ids.withColumnRenamed("id", "s"), "s", "leftsemi"
+    ).unionAll(
+        ids.join(node_ids.withColumnRenamed("id", "o"), "o", "leftsemi")
+        .select("s", "p", "o")
+    ).distinct()
+    t = decode_ids(hits, "s", term_dict, "subj")
+    t = decode_ids(t, "p", artifact.pred_dict, "pred")
+    t = decode_ids(t, "o", term_dict, "obj")
+    return modifiers(
+        t.select("subj", "pred", "obj"), limit=q.limit, offset=q.offset
+    )
 
 
 def _make_subselect(q: "ParsedQuery"):

@@ -179,6 +179,16 @@ def test_path_over_emitted_artifact(spark, tmp_path_factory):
     want = sorted(("a", o) for (s, o) in py_closure(EDGES) if s == "x")
     assert _pairs(got) == want  # x has no <next> edge -> empty is fine too
 
+    # DESCRIBE over the store: id-level semi-joins, result-only decode —
+    # must equal the flat-view description of the same resource
+    store_desc = run_sparql_over_artifact(art, 'DESCRIBE "b"')
+    flat_desc = run_sparql(
+        triples.select("subj", "pred", "obj"), 'DESCRIBE "b"'
+    )
+    assert {tuple(r) for r in store_desc.collect()} == {
+        tuple(r) for r in flat_desc.collect()
+    } and store_desc.count() == 3  # a->b, b->c, d->b
+
 
 def test_negated_property_set(spark, triples):
     from gstored_spark.plans.paths import Neg
