@@ -769,12 +769,12 @@ def path_pattern_over_blocks(artifact, s_term, path, o_term, idx: int = 0):
         id_view, enc(s_term), translate(path), enc(o_term), idx=idx,
         link_edges=link_edges,
     )
+    from gstored_spark.kg.ids import decode_ids
+
     out_vars = [c for c in bindings.columns if not c.startswith("_const_")]
     decoded = bindings
     for v in out_vars:
-        decoded = decoded.withColumnRenamed(v, f"_{v}_id")
-        decoded = decoded.join(
-            term_dict.select(F.col("id").alias(f"_{v}_id"), F.col("term").alias(v)),
-            f"_{v}_id",
+        decoded = decode_ids(
+            decoded.withColumnRenamed(v, f"_{v}_id"), f"_{v}_id", term_dict, v
         ).drop(f"_{v}_id")
     return decoded.select(*bindings.columns)

@@ -296,6 +296,7 @@ class GroupPattern:
     not_exists: list["GroupPattern"] = None  # FILTER NOT EXISTS -> left_anti
     path_patterns: list = None  # (s_term, paths-AST, o_term) — SPARQL 1.1
     binds: list = None  # (var_name, Column) — BIND(expr AS ?v)
+    post_binds: list = None  # binds over OPTIONAL-only vars: apply after
     values_tables: list = None  # (var_names, rows) — inline VALUES data
     # nested { SELECT ... } units: callables (triples, pred_counts,
     # bgp_eval) -> DataFrame, built by the parser (plans/sparql.py) so the
@@ -313,6 +314,7 @@ class GroupPattern:
         self.not_exists = self.not_exists or []
         self.path_patterns = self.path_patterns or []
         self.binds = self.binds or []
+        self.post_binds = self.post_binds or []
         self.values_tables = self.values_tables or []
         self.sub_evals = self.sub_evals or []
 
@@ -444,6 +446,11 @@ def eval_group(
         o = _sub(opt)
         shared = [c for c in acc.columns if c in o.columns]
         acc = acc.join(o, shared, "left_outer") if shared else acc.crossJoin(o)
+    for v, col in g.post_binds:
+        # BINDs whose expression references OPTIONAL-bound vars defer to
+        # here (the parser splits them like filters/post_filters); an
+        # OPTIONAL miss flows through as NULL, per SPARQL unbound semantics
+        acc = acc.withColumn(v, col)
     for m in g.minus:
         mdf = _sub(m)
         shared = [c for c in acc.columns if c in mdf.columns]

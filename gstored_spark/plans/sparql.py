@@ -299,8 +299,13 @@ class _Parser:
 
     def parse_values(self) -> tuple[list[str], list[tuple]]:
         """VALUES ?x { t... } | VALUES (?x ?y) { (t t) ... }. UNDEF -> NULL.
-        Plain string literals contribute their VALUE form (the same
-        compare-on-value convention as FILTER constants, module docstring)."""
+
+        Term convention (deliberate, documented): a PLAIN string literal
+        denotes the bare value term — matching this repo's graph views,
+        whose terms are plain strings (`nat:3`) with no SPARQL-expressible
+        lexical form. VALUES rows join on TERM equality, so against
+        literal-term data ('"bob"@en') use a tagged/typed literal (kept in
+        term form) or a FILTER, which compares on the value space."""
         if self.at_op("("):
             self.next()
             vars_ = []
@@ -364,8 +369,9 @@ class _Parser:
                     break
                 term = self.triple_term()
                 if term.startswith('"') and term.endswith('"'):
-                    term = term[1:-1]  # plain literal -> value space (same
-                    # compare-on-value convention as VALUES/FILTER constants)
+                    # plain literal -> bare value term (same term convention
+                    # as VALUES constants, parse_values docstring)
+                    term = term[1:-1]
                 terms.append(term)
             g = GroupPattern(patterns=[])
             if self.at_kw("where"):
@@ -485,6 +491,7 @@ class _Parser:
         self.eat_op("{")
         g = GroupPattern(patterns=[])
         raw_filters: list[Expr] = []
+        raw_binds: list[tuple[str, Expr]] = []
         while not self.at_op("}"):
             if self.at_kw("filter"):
                 self.next()
@@ -512,7 +519,7 @@ class _Parser:
                 if v.kind != "var":
                     raise ValueError(f"BIND target must be a var, got {v}")
                 self.eat_op(")")
-                g.binds.append((v.text[1:], e.col))
+                raw_binds.append((v.text[1:], e))
                 self._bind_kinds[v.text[1:]] = e.kind
                 if self.at_op("."):
                     self.next()
@@ -583,12 +590,23 @@ class _Parser:
             base_vars |= {
                 t[1:] for t in (s_t, o_t) if isinstance(t, str) and t.startswith("?")
             }
-        base_vars |= {v for v, _ in g.binds}
         for vars_, _ in g.values_tables:
             base_vars |= set(vars_)
+        # BINDs split like filters: an expression over base vars applies in
+        # the group's relational part; one referencing OPTIONAL-only (or
+        # later-deferred) vars applies AFTER the optionals join (post_binds)
+        late_vars: set[str] = set()
+        for v, e in raw_binds:
+            if e.vars <= base_vars and not (e.vars & late_vars):
+                g.binds.append((v, e.col))
+                base_vars.add(v)
+            else:
+                g.post_binds.append((v, e.col))
+                late_vars.add(v)
         for e in raw_filters:
             cond = _to_bool(e)
-            (g.filters if e.vars <= base_vars else g.post_filters).append(cond)
+            early = e.vars <= (base_vars | late_vars) and not (e.vars & late_vars)
+            (g.filters if early else g.post_filters).append(cond)
         return g
 
     # -- expressions -------------------------------------------------------------
@@ -958,6 +976,17 @@ def _group_vars(g: GroupPattern) -> list[str]:
             for t in (s_t, o_t):
                 if isinstance(t, str) and t.startswith("?") and t[1:] not in seen:
                     seen.append(t[1:])
+        for v, _ in gr.binds + gr.post_binds:
+            if v not in seen:
+                seen.append(v)
+        for vars_, _ in gr.values_tables:
+            for v in vars_:
+                if v not in seen:
+                    seen.append(v)
+        for f in gr.sub_evals:
+            for v in getattr(getattr(f, "query", None), "projection", None) or []:
+                if v not in seen:
+                    seen.append(v)
         for sub in gr.unions + gr.joins + gr.optionals:
             walk(sub)
 
@@ -977,7 +1006,9 @@ class ParsedUpdate:
 def _template_patterns(g: GroupPattern, clause: str) -> list[TriplePattern]:
     """A MODIFY template group must be a plain triple list."""
     if g.optionals or g.unions or g.minus or g.filters or g.joins \
-            or g.post_filters or g.exists or g.not_exists:
+            or g.post_filters or g.exists or g.not_exists \
+            or g.path_patterns or g.binds or g.post_binds \
+            or g.values_tables or g.sub_evals:
         raise ValueError(f"{clause} template must contain only triples")
     return g.patterns
 
@@ -1032,6 +1063,10 @@ def parse_update(text: str) -> ParsedUpdate:
     g = p.parse_group()
     if p.peek() is not None:
         raise ValueError(f"trailing tokens at {p.peek()}")
+    if g.path_patterns or g.binds or g.post_binds or g.values_tables or g.sub_evals:
+        # silently dropping a path/BIND/VALUES from an update group would
+        # turn the update into a wrong-scope write — reject loudly
+        raise ValueError(f"{form} group must contain only triple patterns")
     if form in ("insert_data", "delete_data"):
         for pat in g.patterns:
             if pat.vars():

@@ -522,3 +522,52 @@ def test_describe_constant_and_var(spark, agg_triples):
     assert ("c3", "<in>", "n2") in got and ("c3", "<bal>",
         '"5"^^<http://www.w3.org/2001/XMLSchema#integer>') in got
     assert len(got) == 2
+
+
+def test_bind_over_optional_var_defers(spark):
+    t = spark.createDataFrame(
+        [("a", "<p>", "x"), ("b", "<p>", "y"), ("a", "<q>", "z")],
+        "subj string, pred string, obj string",
+    )
+    out = run_sparql(
+        t,
+        """SELECT ?s ?l WHERE {
+             ?s <p> ?o OPTIONAL { ?s <q> ?x } BIND(STRLEN(?x) AS ?l)
+           }""",
+    )
+    got = {r["s"]: r["l"] for r in out.collect()}
+    # OPTIONAL miss -> ?x NULL -> STRLEN(?x) NULL, not an analysis error
+    assert got == {"a": 1, "b": None}
+
+
+def test_select_star_includes_bind_values_subselect_vars(spark, agg_triples):
+    out = run_sparql(
+        agg_triples,
+        'SELECT * WHERE { ?c <in> ?n . BIND(STRLEN(?c) AS ?l) }',
+    )
+    assert set(out.columns) == {"c", "n", "l"}
+    out2 = run_sparql(agg_triples, 'SELECT * WHERE { VALUES ?x { "a" "b" } }')
+    assert out2.columns == ["x"] and out2.count() == 2
+    out3 = run_sparql(
+        agg_triples,
+        """SELECT * WHERE {
+             ?c <in> ?n .
+             { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in> ?n } GROUP BY ?n }
+           }""",
+    )
+    assert set(out3.columns) == {"c", "n", "cnt"}
+
+
+def test_update_groups_reject_paths_and_binds(spark):
+    import pytest as _pytest
+
+    from gstored_spark.plans.sparql import parse_update
+
+    with _pytest.raises(ValueError, match="only triple"):
+        parse_update("DELETE WHERE { ?s <p>/<q> ?o }")
+    with _pytest.raises(ValueError, match="only triple"):
+        parse_update('INSERT DATA { <a> <p> "x" . VALUES ?x { "y" } }')
+    # MODIFY's WHERE group evaluates through eval_group, so paths there
+    # are legal — only template/data groups reject them
+    u = parse_update("DELETE { ?s <broke> ?o } WHERE { ?s <p>/<q> ?o }")
+    assert u.where.path_patterns
