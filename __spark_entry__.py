@@ -1095,6 +1095,26 @@ def _q_pii_redact(spark, sf):
     return redact_pii(docs).select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
 
 
+def _q_url_normalize(spark, sf):
+    """URL canonicalization (operators/urls.py): one anchored regex splits
+    components, normalization is a pure column chain — the dedup/grouping
+    key for web corpora. Fixture plants mixed-case/default-port/fragment/
+    unsorted-query URLs deterministically per doc."""
+    from gstored_spark.operators.urls import normalize_url
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.COM:443/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    return normalize_url(docs).select("doc_id", "url_norm", "host_norm", "domain")
+
+
 def _q_kg_triples(spark, sf):
     """Full KG pipeline on a 64-doc synthetic corpus, scored against the
     generator's own gold triples: one row (n_gold, n_pred, n_hit). The
@@ -1190,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
         "pii_redact": _q_pii_redact,
+        "url_normalize": _q_url_normalize,
         "kg_triples": _q_kg_triples,
     }
 
@@ -1940,6 +1961,18 @@ def oracle_sql() -> dict[str, str]:
                                                    || 'split'), 1, 6))
                              AS BIGINT) < 1677721
                         THEN 'holdout' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "url_normalize": """
+            -- independent derivation (not a regex mirror): the expected
+            -- canonical form is constructed directly from the fixture
+            SELECT doc_id,
+                   'https://www.site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '?a=1&b=2' AS url_norm,
+                   'www.site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.example.com' AS host_norm,
+                   'example.com' AS domain
             FROM documents
         """,
         "pii_redact": r"""
