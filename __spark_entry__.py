@@ -1095,6 +1095,15 @@ def _q_pii_redact(spark, sf):
     return redact_pii(docs).select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style repetition signals (operators/quality.py):
+    duplicate-word fraction is row-local array math; top-bigram mass is a
+    two-level doc-keyed aggregation."""
+    from gstored_spark.operators.quality import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
 def _q_url_normalize(spark, sf):
     """URL canonicalization (operators/urls.py): one anchored regex splits
     components, normalization is a pure column chain — the dedup/grouping
@@ -1210,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
         "pii_redact": _q_pii_redact,
+        "repetition": _q_repetition,
         "url_normalize": _q_url_normalize,
         "kg_triples": _q_kg_triples,
     }
@@ -1962,6 +1972,38 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) < 1677721
                         THEN 'holdout' ELSE 'train' END AS split
             FROM documents
+        """,
+        "repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                           AS dup_word_frac,
+                       ws
+                FROM w
+            ),
+            bg AS (
+                SELECT doc_id, n_words, dup_word_frac,
+                       unnest(list_transform(generate_series(1, len(ws) - 1),
+                                             i -> ws[i] || ' ' || ws[i + 1]))
+                           AS bigram
+                FROM base
+            ),
+            per_bigram AS (
+                SELECT doc_id, n_words, dup_word_frac, bigram,
+                       COUNT(*) AS c
+                FROM bg GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_id, n_words, dup_word_frac,
+                   ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac,
+                   (dup_word_frac > 0.30
+                    OR ROUND(MAX(c) * 1.0 / SUM(c), 6) > 0.18) AS repetitive
+            FROM per_bigram GROUP BY 1, 2, 3
         """,
         "url_normalize": """
             -- independent derivation (not a regex mirror): the expected
