@@ -1074,6 +1074,19 @@ def _q_train_split(spark, sf):
     return train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split")
 
 
+def _q_mix_sources(spark, sf):
+    """Training-mix composition to target proportions (operators/
+    sampling.py mix_sources): per-source hash-sample fractions derived
+    from measured counts; membership stays a pure deterministic predicate
+    the oracle reproduces row-for-row."""
+    from gstored_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf, "documents")
+    return mix_sources(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 1.0}, total_rows=60
+    ).select("doc_id", "source")
+
+
 def _q_pii_redact(spark, sf):
     """PII scrubbing (operators/redact.py): map-only regexp_replace chain,
     RE2-compatible patterns so the oracle reproduces byte-exact output.
@@ -1219,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
         "pii_redact": _q_pii_redact,
+        "mix_sources": _q_mix_sources,
         "repetition": _q_repetition,
         "url_normalize": _q_url_normalize,
         "kg_triples": _q_kg_triples,
@@ -1972,6 +1986,23 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) < 1677721
                         THEN 'holdout' ELSE 'train' END AS split
             FROM documents
+        """,
+        "mix_sources": """
+            WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+            f AS (
+                SELECT source,
+                       CAST(FLOOR(LEAST(1.0, (60 * w / 4.0) / n) * 16777216)
+                            AS BIGINT) AS thr
+                FROM (SELECT source, n,
+                             CASE source WHEN 'src0' THEN 3.0
+                                         WHEN 'src1' THEN 1.0 END AS w
+                      FROM c)
+                WHERE w IS NOT NULL
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN f USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'),
+                                       1, 6)) AS BIGINT) < f.thr
         """,
         "repetition": """
             WITH w AS (

@@ -64,6 +64,42 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thr)
 
 
+def mix_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict,
+    total_rows: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Compose a training mix to TARGET PROPORTIONS: each source keeps a
+    deterministic hash sample sized so the output approximates
+    ``total_rows`` split by ``weights`` (sources absent from ``weights``
+    drop). A source smaller than its target keeps everything (fraction
+    caps at 1 — the standard under-supplied-source behavior; upsampling is
+    a repeat policy, not a sampling one).
+
+    The only driver-side work is the per-source count (one tiny groupBy
+    collect — sources are few by construction); membership stays a pure
+    hash predicate, so the mix inherits every determinism property of
+    deterministic_sample (stable under repartition/resume, re-derivable
+    row-for-row)."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    wsum = float(sum(weights.values()))
+    thr = None
+    for src, w in sorted(weights.items()):
+        n = counts.get(src, 0)
+        frac = min(1.0, (total_rows * w / wsum) / n) if n else 0.0
+        t = F.when(F.col(source_col) == src, F.lit(int(frac * _BUCKETS)))
+        thr = t.otherwise(F.lit(0)) if thr is None else t.otherwise(thr)
+    if thr is None:
+        raise ValueError("weights must name at least one source")
+    return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
 def train_holdout_split(
     df: DataFrame, key_col: str, holdout_fraction: float, salt: str = "split"
 ) -> DataFrame:

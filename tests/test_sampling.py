@@ -72,3 +72,29 @@ def test_split_no_migration_as_corpus_grows(spark):
     m_big = {r["doc_id"]: r["split"] for r in big.collect()}
     assert all(m_big[k] == v for k, v in m_small.items())
     assert set(m_big.values()) == {"train", "holdout"}
+
+
+def test_mix_sources_targets_proportions(spark):
+    from gstored_spark.operators.sampling import mix_sources
+
+    d = spark.range(4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'big' ELSE 'small' END AS src"
+    ).filter("src = 'big' OR doc_id < 400")  # big: 2000 rows, small: 200
+    out = mix_sources(d, "doc_id", "src", {"big": 1.0, "small": 1.0}, 800)
+    got = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        {"*": "count"}).withColumnRenamed("count(1)", "n").collect()}
+    # big: 400/2000 = 0.2 sample; small under-supplied -> keeps all 200
+    assert got["small"] == 200
+    assert 300 < got["big"] < 500
+    # unmentioned sources drop
+    out2 = mix_sources(d, "doc_id", "src", {"small": 1.0}, 100)
+    assert out2.filter("src = 'big'").count() == 0
+    # determinism under repartition
+    a = {r[0] for r in out.select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in mix_sources(
+            d.repartition(7), "doc_id", "src", {"big": 1.0, "small": 1.0}, 800
+        ).select("doc_id").collect()
+    }
+    assert a == b
