@@ -50,6 +50,8 @@ QUERY_NAMES = [
     "bgp_parsed",
     "path_seq",
     "sparql_groupby",
+    "sparql_subselect",
+    "construct_graph",
     "sparql_blocks",
     "modify_where",
     "term_funcs",
@@ -65,6 +67,10 @@ QUERY_NAMES = [
     "winnow",
     "lang_id",
     "quality_score",
+    "repetition",
+    "pii_redact",
+    "url_normalize",
+    "sample_strata",
     "token_count",
     "order_limit",
     "dict_encode",
