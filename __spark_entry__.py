@@ -1074,6 +1074,28 @@ def _q_train_split(spark, sf):
     return train_holdout_split(docs, "doc_id", 0.1).select("doc_id", "split")
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (operators/asof.py): each click annotated with the most
+    recent at-or-before view by the same user — union + running-last, one
+    shuffle, vs DuckDB's native ASOF LEFT JOIN."""
+    from gstored_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, key="user_id", ts="ts", value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_asof").alias("view_ts"),
+        F.col("value_asof").alias("view_value"),
+    )
+
+
 def _q_mix_sources(spark, sf):
     """Training-mix composition to target proportions (operators/
     sampling.py mix_sources): per-source hash-sample fractions derived
@@ -1232,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
         "pii_redact": _q_pii_redact,
+        "asof_join": _q_asof_join,
         "mix_sources": _q_mix_sources,
         "repetition": _q_repetition,
         "url_normalize": _q_url_normalize,
@@ -1986,6 +2009,15 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) < 1677721
                         THEN 'holdout' ELSE 'train' END AS split
             FROM documents
+        """,
+        "asof_join": """
+            SELECT c.event_id, c.user_id,
+                   v.ts AS view_ts, v.value AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "mix_sources": """
             WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
