@@ -238,11 +238,23 @@ def predicate_stats(id_triples: DataFrame) -> DataFrame:
     out-fanout of predicate p (what sp2o returns per subject on average),
     ``n / n_o`` the in-fanout. Persisted with the artifact so the matcher's
     cardinality-based join ordering (Join.cpp:71-77 score) estimates a
-    bound-endpoint probe from measured fanout instead of a flat constant."""
+    bound-endpoint probe from measured fanout instead of a flat constant.
+
+    ``n_lit`` counts triples whose object is a LITERAL: a predicate with
+    n_lit = 0 guarantees its object bindings are entities, which licenses
+    the o2p satellite prefilter even for object-only vars (the F5
+    literal-candidate rationale, Join.cpp:2242-2395, evaluated per
+    predicate from measured data instead of per query shape)."""
+    n_lit = (
+        F.sum(F.when(F.col("o_is_entity"), 0).otherwise(1))
+        if "o_is_entity" in id_triples.columns
+        else F.lit(None).cast("long")
+    )
     return id_triples.groupBy(F.col("p").alias("pid")).agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("s").alias("n_s"),
         F.approx_count_distinct("o").alias("n_o"),
+        n_lit.alias("n_lit"),
     )
 
 

@@ -185,15 +185,19 @@ def _cached_pred_ids(artifact) -> dict[str, int]:
 
 
 def _cached_pred_stats(artifact) -> dict[int, tuple] | None:
-    """pid -> (n, n_s, n_o), collected once per artifact handle; n_s/n_o
-    None for artifacts written before the fanout stats existed."""
+    """pid -> (n, n_s, n_o, n_lit), collected once per artifact handle;
+    n_s/n_o/n_lit None for artifacts written before the stat existed
+    (None n_lit = "may have literal objects" — the conservative read)."""
     if artifact.pred_stats is None:
         return None
     if getattr(artifact, "_pred_stats_cache", None) is None:
-        has_fanout = "n_s" in artifact.pred_stats.columns
+        cols = set(artifact.pred_stats.columns)
+        has_fanout = "n_s" in cols
+        has_lit = "n_lit" in cols
         artifact._pred_stats_cache = {
             r["pid"]: (r["n"], r["n_s"] if has_fanout else None,
-                       r["n_o"] if has_fanout else None)
+                       r["n_o"] if has_fanout else None,
+                       r["n_lit"] if has_lit else None)
             for r in artifact.pred_stats.collect()
         }
     return artifact._pred_stats_cache
@@ -290,7 +294,7 @@ def match_over_blocks(
                 continue
             if is_var(p.p):
                 return True  # no stats for a var predicate: keep prefilter
-            n, n_s, n_o = stats.get(pred_ids.get(p.p), (0, None, None))
+            n, n_s, n_o = stats.get(pred_ids.get(p.p), (0, None, None))[:3]
             if p.s == "?" + v:
                 d = n_s
                 has_const = has_const or not is_var(p.o)
@@ -339,50 +343,98 @@ def match_over_blocks(
     # table (KVstore.h:265-293) when the artifact has one; deriving it from
     # the full adjacency store per query (the round-3 shape) made the
     # prefilter itself a full scan
-    sat_req: dict[str, set[int]] = {}
-    for p in patterns:
-        if is_var(p.s) and not is_var(p.p):
-            v = p.s[1:]
-            pid = pred_ids.get(p.p)
-            if pid is not None and v not in candidates:
-                sat_req.setdefault(v, set()).add(pid)
+    sat_out: dict[str, set[int]] = {}
+    sat_in: dict[str, set[int]] = {}
+    svars = {p.s[1:] for p in patterns if is_var(p.s)}
 
-    def _sat_worth_it(v: str, pids: set[int]) -> bool:
-        """The satellite candidate set is `subjects carrying ALL of pids`.
-        A leaf `?v <q> ?o` that itself contributed q to pids is already
-        exactly that restriction for q — a requirement set that only ever
-        meets its own contributing leaves is a TAUTOLOGY (pure cost). It
-        is informative when |pids| >= 2 (each leaf pruned by the others'
-        predicates) or when v is bound by some non-contributing leaf
-        (object position / var predicate). Past that, skip when the stats
-        say the candidate set is ~all subjects anyway (the round-3
-        profile: requiring a predicate 87% of vertices carry filtered
-        nothing and cost a full vertex_preds scan)."""
+    def _entity_guaranteed(v: str) -> bool:
+        """o2p is only sound when v's bindings are certainly ENTITIES —
+        literals have no vertex_preds row, so in_preds pruning would drop
+        literal solutions (the F5 rationale, Join.cpp:2242-2395). True
+        when v also binds in subject position, or when SOME incident
+        constant predicate measurably never takes literal objects
+        (pred_stats n_lit = 0): one literal-free leaf forces every
+        solution's v to an entity."""
+        if v in svars:
+            return True
+        if stats is None:
+            return False
+        for p in patterns:
+            if p.o == "?" + v and not is_var(p.p):
+                st = stats.get(pred_ids.get(p.p))
+                if st is not None and len(st) > 3 and st[3] == 0:
+                    return True
+        return False
+
+    for p in patterns:
+        if not is_var(p.p):
+            pid = pred_ids.get(p.p)
+            if pid is None:
+                continue
+            if is_var(p.s) and p.s[1:] not in candidates:
+                sat_out.setdefault(p.s[1:], set()).add(pid)
+            # o2p half (Join::filterBySatellites checks BOTH directions,
+            # Join.cpp:2419-2700): an object-position var must carry the
+            # constant predicate among its in-preds
+            if (
+                is_var(p.o)
+                and p.o[1:] not in candidates
+                and _entity_guaranteed(p.o[1:])
+            ):
+                sat_in.setdefault(p.o[1:], set()).add(pid)
+
+    def _sat_worth_it(v: str, out_pids: set[int], in_pids: set[int]) -> bool:
+        """The satellite candidate set is `vertices carrying ALL of
+        out_pids among out-preds AND ALL of in_pids among in-preds`. A
+        leaf `?v <q> ?o` (resp. `?s <q> ?v`) that itself contributed q is
+        already exactly that restriction for q — a requirement set that
+        only ever meets its own contributing leaves is a TAUTOLOGY (pure
+        cost). It is informative when the combined requirement count >= 2
+        (each leaf pruned by the others' predicates) or when v is bound by
+        some non-contributing leaf (var predicate). Past that, skip when
+        the stats say the candidate set is ~all vertices anyway (the
+        round-3 profile: requiring a predicate 87% of vertices carry
+        filtered nothing and cost a full vertex_preds scan). Out-direction
+        selectivity estimates from n_s (distinct subjects of p), in-
+        direction from n_o (distinct objects) — the subIDpreID2num /
+        objIDpreID2num split."""
         contrib = sum(
-            1 for p in patterns
-            if p.s == "?" + v and not is_var(p.p) and pred_ids.get(p.p) in pids
+            1 for p in patterns if not is_var(p.p) and (
+                (p.s == "?" + v and pred_ids.get(p.p) in out_pids)
+                or (p.o == "?" + v and pred_ids.get(p.p) in in_pids)
+            )
         )
         binding = sum(1 for p in patterns if "?" + v in (p.s, p.o))
-        if len(pids) < 2 and binding <= contrib:
+        if len(out_pids) + len(in_pids) < 2 and binding <= contrib:
             return False
         if stats is not None:
             nv = artifact.meta.get("n_vertices")
-            ests = [stats.get(pid, (0, None, None))[1] for pid in pids]
+            ests = [stats.get(pid, (0, None, None))[1] for pid in out_pids]
+            ests += [stats.get(pid, (0, None, None))[2] for pid in in_pids]
             ests = [e for e in ests if e is not None]
             if nv and ests and min(ests) >= sig_skip_frac * nv:
                 return False
         return True
 
-    sat_req = {v: pids for v, pids in sat_req.items() if _sat_worth_it(v, pids)}
-    if sat_req:
+    sat_vars = {
+        v for v in set(sat_out) | set(sat_in)
+        if _sat_worth_it(v, sat_out.get(v, set()), sat_in.get(v, set()))
+    }
+    if sat_vars:
         psets = artifact.vertex_preds
         if psets is None:
             psets = vertex_predicate_sets(artifact.adjacency.filter("is_internal"))
-        for v, pids in sat_req.items():
-            req = F.array(*[F.lit(int(x)).cast("long") for x in sorted(pids)])
-            cand_v = psets.filter(
-                F.forall(req, lambda x: F.array_contains("out_preds", x))
-            ).select("v").distinct()
+        for v in sat_vars:
+            cond = F.lit(True)
+            for pid in sorted(sat_out.get(v, set())):
+                cond = cond & F.array_contains(
+                    "out_preds", F.lit(int(pid)).cast("long")
+                )
+            for pid in sorted(sat_in.get(v, set())):
+                cond = cond & F.array_contains(
+                    "in_preds", F.lit(int(pid)).cast("long")
+                )
+            cand_v = psets.filter(cond).select("v").distinct()
             candidates[v] = cand_v if id_mode else cand_v.join(
                 artifact.entity_dict.withColumnRenamed("id", "v"), "v"
             ).select("term")
@@ -762,8 +814,21 @@ def path_pattern_over_blocks(artifact, s_term, path, o_term, idx: int = 0):
         else {}
     )
 
+    # Distinct off-dictionary constants must encode to DISTINCT sentinels:
+    # with a shared -1, `<unknownA> <p>* <unknownB>` (both absent, different
+    # terms) would take the seeded zero-length fast path and self-match —
+    # the flat-view evaluator (and the spec) return no match. Equal strings
+    # share one sentinel so the genuine zero-length self-match survives.
+    _missing: dict = {}
+
     def enc(term):
-        return term if is_var(term) else cmap.get(term, -1)
+        if is_var(term):
+            return term
+        if term in cmap:
+            return cmap[term]
+        if term not in _missing:
+            _missing[term] = -1 - len(_missing)
+        return _missing[term]
 
     bindings = PP.eval_path_pattern(
         id_view, enc(s_term), translate(path), enc(o_term), idx=idx,

@@ -38,12 +38,16 @@ def asof_join(
     """Left rows + ``{ts}{suffix}`` / ``{col}{suffix}`` columns from the
     most recent right row at-or-before each left row's ``ts``.
 
-    A NULL in a right payload column is carried over by the next older
-    non-null (ignorenulls semantics) — supply already-clean payloads."""
+    The matched right row travels as ONE struct through a single
+    running-last window, so the attached ts and every payload column come
+    from the SAME right row — a NULL payload in the matched row stays
+    NULL instead of being silently back-filled from an older row."""
     r = right.select(
         F.col(key),
         F.col(ts),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(F.col(ts).alias("__ts"), *[F.col(c) for c in value_cols]).alias(
+            "__r_row"
+        ),
     ).withColumn("__side", F.lit(0))
     l_tagged = left.withColumn("__side", F.lit(1))
     u = l_tagged.unionByName(r, allowMissingColumns=True)
@@ -52,14 +56,8 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = u.withColumn(
-        f"{ts}{suffix}",
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True).over(w),
-    )
+    u = u.withColumn("__match", F.last("__r_row", ignorenulls=True).over(w))
+    u = u.withColumn(f"{ts}{suffix}", F.col("__match.__ts"))
     for c in value_cols:
-        u = u.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
-        )
-    return u.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__r_{c}" for c in value_cols]
-    )
+        u = u.withColumn(f"{c}{suffix}", F.col(f"__match.{c}"))
+    return u.filter(F.col("__side") == 1).drop("__side", "__r_row", "__match")

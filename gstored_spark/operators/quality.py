@@ -39,11 +39,14 @@ def repetition_stats(
             1.0 - F.size(F.array_distinct(words)) / F.size(words), 6
         ).alias("dup_word_frac"),
     )
+    # explode_OUTER: a document with fewer than two tokens has no bigrams
+    # but must still get a row (top_bigram_frac = 0.0) — with inner explode
+    # it would vanish from the output and could never be flagged or joined.
     bigrams = base.select(
         id_col,
         "n_words",
         "dup_word_frac",
-        F.explode(
+        F.explode_outer(
             F.zip_with(
                 F.expr("slice(__ws, 1, size(__ws) - 1)"),
                 F.expr("slice(__ws, 2, size(__ws) - 1)"),
@@ -54,8 +57,11 @@ def repetition_stats(
     per_bigram = bigrams.groupBy(id_col, "n_words", "dup_word_frac", "bigram").agg(
         F.count(F.lit(1)).alias("c")
     )
+    real = F.when(F.col("bigram").isNotNull(), F.col("c"))
     per_doc = per_bigram.groupBy(id_col, "n_words", "dup_word_frac").agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+        F.coalesce(
+            F.round(F.max(real) / F.sum(real), 6), F.lit(0.0)
+        ).alias("top_bigram_frac")
     )
     return per_doc.withColumn(
         "repetitive",

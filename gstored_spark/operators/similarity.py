@@ -176,6 +176,12 @@ def topk_cosine_srp(
     )
 
 
+# driver-collect ceiling for the exact-pairs baseline (mirrors
+# cc.SMALL_GRAPH_EDGES): ~1M x 128-dim float64 ≈ 1 GB — beyond that the
+# caller wants cosine_near_dup, not a bigger driver
+EXACT_PAIRS_MAX_ROWS = 1_000_000
+
+
 def cosine_pairs_exact(
     df: DataFrame, id_col: str, vec_col: str, tau: float
 ) -> DataFrame:
@@ -196,6 +202,14 @@ def cosine_pairs_exact(
     so the threshold compare is stable across engines. -> (a, b, score)."""
     spark = df.sparkSession
     side = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    n = side.count()
+    if n > EXACT_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"cosine_pairs_exact collects the full (id, vector) matrix to "
+            f"the driver; {n} rows > limit {EXACT_PAIRS_MAX_ROWS}. This is "
+            f"the verification BASELINE — use cosine_near_dup (SRP-bucketed)"
+            f" for corpus-scale inputs."
+        )
     rows = side.collect()
     ids_all = np.array([r["a"] for r in rows])  # dtype follows the id type
     mat = np.array([r["va"] for r in rows], dtype=np.float64)

@@ -61,11 +61,21 @@ def normalize_url(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.array_join(F.sort_array(F.split(F.col("query"), "&")), "&"),
         )
     )
+    # Anything the regex can't split soundly falls back to the raw URL as
+    # the canonical key: a rejected match (missing scheme, userinfo@host)
+    # extracts an empty host — without a guard every such URL would
+    # collapse to the constant ':///', one shared key a dedup pipeline
+    # would treat as one page — and an IPv6 bracket literal HALF-parses
+    # (host captures up to the first ':', the rest leaks into path), so
+    # bracket hosts are unparseable too.
+    bad = (host == "") | host.contains("[")
+    built = F.concat(scheme, F.lit("://"), host, port, path, query)
+    host_norm = F.when(bad, F.lit("")).otherwise(host)
     return (
         out.withColumn(
             "url_norm",
-            F.concat(scheme, F.lit("://"), host, port, path, query),
+            F.when(bad, F.col(url_col)).otherwise(built),
         )
-        .withColumn("host_norm", host)
-        .withColumn("domain", F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+        .withColumn("host_norm", host_norm)
+        .withColumn("domain", F.regexp_extract(host_norm, r"([^.]+\.[^.]+)$", 1))
     )

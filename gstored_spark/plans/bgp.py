@@ -128,7 +128,9 @@ def _cardinality(pat: TriplePattern, bound: set[str], pred_counts, total: int) -
     probe) instead of a flat constant — the flat 100 misestimates skewed
     predicates by orders of magnitude."""
     stat = pred_counts.get(pat.p, total) if not is_var(pat.p) else total
-    n, n_s, n_o = (stat if isinstance(stat, (tuple, list)) else (stat, None, None))
+    n, n_s, n_o = (
+        tuple(stat)[:3] if isinstance(stat, (tuple, list)) else (stat, None, None)
+    )
     est = float(n)
     for term, nd in ((pat.s, n_s), (pat.o, n_o)):
         if not is_var(term) or term in bound:
@@ -298,6 +300,11 @@ class GroupPattern:
     binds: list = None  # (var_name, Column) — BIND(expr AS ?v)
     post_binds: list = None  # binds over OPTIONAL-only vars: apply after
     values_tables: list = None  # (var_names, rows) — inline VALUES data
+    # sub-groups that CONSUME a BIND-declared var (a triple pattern after
+    # the BIND mentioning ?v): joined after `binds` apply, implementing the
+    # spec's sequential BIND scoping — the computed column is a join key,
+    # never overwritten
+    bind_joins: list = None  # type: ignore[assignment]
     # nested { SELECT ... } units: callables (triples, pred_counts,
     # bgp_eval) -> DataFrame, built by the parser (plans/sparql.py) so the
     # algebra stays ignorant of query-form plumbing; joined like `joins`
@@ -317,6 +324,7 @@ class GroupPattern:
         self.post_binds = self.post_binds or []
         self.values_tables = self.values_tables or []
         self.sub_evals = self.sub_evals or []
+        self.bind_joins = self.bind_joins or []
 
 
 def eval_group(
@@ -414,9 +422,11 @@ def eval_group(
             shared = [c for c in acc.columns if c in jdf.columns]
             acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
     for vars_, rows in g.values_tables:
-        # inline VALUES data: a literal relation joined on shared vars (a
-        # NULL/UNDEF landing in a shared var drops the row — same documented
-        # simplification as the union branch-varset note above)
+        # inline VALUES data. UNDEF (parsed to NULL) is join-compatible
+        # with ANY binding, so rows group by their bound-var subset and
+        # each subset joins the base on ITS bound shared vars only — the
+        # same per-varset strategy as UNION branches. One inner join keyed
+        # on a NULL cell would silently drop those solutions.
         from pyspark.sql import SparkSession
 
         spark = (
@@ -426,20 +436,57 @@ def eval_group(
             if triples is not None
             else SparkSession.getActiveSession()
         )
-        vdf = spark.createDataFrame(
-            rows, ", ".join(f"{v} string" for v in vars_)
-        )
-        if acc is None:
-            acc = vdf
-        else:
-            shared = [c for c in acc.columns if c in vdf.columns]
-            acc = acc.join(vdf, shared, "inner") if shared else acc.crossJoin(vdf)
+        by_subset: dict[tuple, list] = {}
+        for row in rows:
+            bound = tuple(v for v, val in zip(vars_, row) if val is not None)
+            by_subset.setdefault(bound, []).append(row)
+        out: DataFrame | None = None
+        for bound, rws in by_subset.items():
+            vdf = spark.createDataFrame(
+                rws, ", ".join(f"{v} string" for v in vars_)
+            )
+            if acc is None:
+                piece = vdf
+            elif bound:
+                # UNDEF columns drop from the relation: they neither
+                # constrain nor overwrite the base's bindings
+                rel = vdf.select(*[v for v in vars_ if v in bound])
+                shared = [c for c in acc.columns if c in rel.columns]
+                piece = (
+                    acc.join(rel, shared, "inner")
+                    if shared
+                    else acc.crossJoin(rel)
+                )
+            else:
+                # all-UNDEF row(s): no constraint — each row repeats the
+                # base once (bag semantics)
+                piece = acc
+                for _ in rws[1:]:
+                    piece = piece.unionByName(acc)
+            out = (
+                piece
+                if out is None
+                else out.unionByName(piece, allowMissingColumns=True)
+            )
+        acc = out
+        if acc is not None:
+            # a var UNDEF in every row and absent from the base must still
+            # project (as unbound)
+            for v in vars_:
+                if v not in acc.columns:
+                    acc = acc.withColumn(v, F.lit(None).cast("string"))
     assert acc is not None, "empty group pattern"
     for v, col in g.binds:
-        # BIND(expr AS ?v): order-insensitive placement after the group's
-        # relational part (documented simplification of SPARQL's sequential
-        # BIND scoping — filters that mention ?v still apply after it)
+        # BIND(expr AS ?v): applies after the relational part of the
+        # elements that PRECEDE it; patterns that consume ?v were split
+        # into bind_joins by the parser (sequential BIND scoping)
         acc = acc.withColumn(v, col)
+    for bj in g.bind_joins:
+        # patterns textually after a BIND that mention its var: the
+        # computed column is now a real binding, so it joins as a key
+        jdf = _sub(bj)
+        shared = [c for c in acc.columns if c in jdf.columns]
+        acc = acc.join(jdf, shared, "inner") if shared else acc.crossJoin(jdf)
     for f in g.filters:
         acc = acc.filter(_pred(f))
     for opt in g.optionals:

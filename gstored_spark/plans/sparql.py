@@ -490,6 +490,7 @@ class _Parser:
     def parse_group(self) -> GroupPattern:
         self.eat_op("{")
         g = GroupPattern(patterns=[])
+        tail = GroupPattern(patterns=[])  # patterns consuming a prior BIND
         raw_filters: list[Expr] = []
         raw_binds: list[tuple[str, Expr]] = []
         while not self.at_op("}"):
@@ -561,13 +562,31 @@ class _Parser:
             else:
                 # predicate-object lists (';') and object lists (',') —
                 # same desugaring loop as the Turtle source (sources/turtle.py)
+                bound_binds = {v for v, _ in raw_binds}
+
+                def _uses_bind(*terms):
+                    return any(
+                        isinstance(t, str)
+                        and t.startswith("?")
+                        and t[1:] in bound_binds
+                        for t in terms
+                    )
+
                 s = self.triple_term()
                 while True:
                     p = self.parse_predicate()
                     while True:
                         o = self.triple_term()
                         if isinstance(p, str):
-                            g.patterns.append(TriplePattern(s, p, o))
+                            # sequential BIND scoping: a pattern AFTER a
+                            # BIND that mentions its var joins after the
+                            # bind applies (GroupPattern.bind_joins)
+                            if _uses_bind(s, p, o):
+                                tail.patterns.append(TriplePattern(s, p, o))
+                            else:
+                                g.patterns.append(TriplePattern(s, p, o))
+                        elif _uses_bind(s, o):
+                            tail.path_patterns.append((s, p, o))
                         else:
                             g.path_patterns.append((s, p, o))
                         if self.at_op(","):
@@ -583,10 +602,12 @@ class _Parser:
                 if self.at_op("."):
                     self.next()
         self.eat_op("}")
+        if tail.patterns or tail.path_patterns:
+            g.bind_joins.append(tail)
         base_vars = set()
-        for p in g.patterns:
+        for p in g.patterns + tail.patterns:
             base_vars |= {v[1:] for v in p.vars()}
-        for s_t, _, o_t in g.path_patterns:
+        for s_t, _, o_t in g.path_patterns + tail.path_patterns:
             base_vars |= {
                 t[1:] for t in (s_t, o_t) if isinstance(t, str) and t.startswith("?")
             }
@@ -595,9 +616,21 @@ class _Parser:
         # BINDs split like filters: an expression over base vars applies in
         # the group's relational part; one referencing OPTIONAL-only (or
         # later-deferred) vars applies AFTER the optionals join (post_binds)
+        # vars bound ONLY by a bind_joins (tail) pattern exist after the
+        # tail joins — a BIND referencing one must defer like a late var
+        early_vars = set()
+        for p in g.patterns:
+            early_vars |= {v[1:] for v in p.vars()}
+        for s_t, _, o_t in g.path_patterns:
+            early_vars |= {
+                t[1:] for t in (s_t, o_t) if isinstance(t, str) and t.startswith("?")
+            }
+        for vars_, _ in g.values_tables:
+            early_vars |= set(vars_)
+        tail_only = base_vars - early_vars
         late_vars: set[str] = set()
         for v, e in raw_binds:
-            if e.vars <= base_vars and not (e.vars & late_vars):
+            if e.vars <= base_vars and not (e.vars & (late_vars | tail_only)):
                 g.binds.append((v, e.col))
                 base_vars.add(v)
             else:
@@ -987,7 +1020,7 @@ def _group_vars(g: GroupPattern) -> list[str]:
             for v in getattr(getattr(f, "query", None), "projection", None) or []:
                 if v not in seen:
                     seen.append(v)
-        for sub in gr.unions + gr.joins + gr.optionals:
+        for sub in gr.unions + gr.joins + gr.optionals + gr.bind_joins:
             walk(sub)
 
     walk(g)

@@ -41,3 +41,23 @@ def test_asof_matches_python_reference(spark):
         prior = [v for (ru, rts, v) in R if ru == u and rts <= ts]
         best = max(prior, default=None, key=lambda v: v)  # value == minute
         assert got[i] == best, (i, u, ts)
+
+
+def test_null_payload_in_matched_row_stays_null(spark):
+    """All _asof columns must come from the SAME matched right row: a NULL
+    payload in the newest prior right row must NOT be back-filled from an
+    older right row."""
+    left = spark.createDataFrame(
+        [(1, 10, _t(30))], "event_id int, user_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _t(5), 1.0, "a"), (10, _t(20), None, "b")],
+        "user_id int, ts timestamp, value double, tag string",
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts", value_cols=["value", "tag"]
+    )
+    row = out.collect()[0]
+    assert row["ts_asof"] == _t(20)
+    assert row["tag_asof"] == "b"
+    assert row["value_asof"] is None  # from the matched row, not _t(5)'s 1.0

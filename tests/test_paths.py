@@ -283,3 +283,38 @@ def test_store_path_link_scans_pbucket_only(spark, tmp_path_factory):
     assert {r["o"] for r in plus.collect()} == {
         o for (s, o) in py_closure(EDGES) if s == "a"
     }
+
+
+def test_store_path_distinct_unknown_constants_no_false_selfmatch(
+    spark, tmp_path_factory
+):
+    """Two DISTINCT off-dictionary constants must encode to distinct
+    sentinels: ASK-shape `<unkA> <next>* <unkB>` has no solution, while
+    `<unkA> <next>* <unkA>` keeps the spec's zero-length self-match."""
+    from gstored_spark.kg import blocks as B
+    from gstored_spark.kg import ids as I
+    from gstored_spark.kg import partition as P
+    from gstored_spark.kg.match import path_pattern_over_blocks
+    from gstored_spark.kg.pipeline import PipelineResult
+
+    rows = [(s, "<next>", o, True) for s, o in EDGES]
+    triples = spark.createDataFrame(rows, ["subj", "pred", "obj", "o_is_entity"])
+    entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+    id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+    routed = P.route_triples(id_triples, 2)
+    internal = P.internal_vertices(routed, 2)
+    adj = B.adjacency(routed, internal)
+    sigs = B.vertex_signatures(triples, pred_dict, entity_dict)
+    part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
+    res = PipelineResult(
+        triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,
+        pred_dict=pred_dict, id_triples=id_triples, routed=routed,
+        internal=internal, adjacency=adj, signatures=sigs, part_sig=part_sig,
+    )
+    out_dir = str(tmp_path_factory.mktemp("path_sentinels"))
+    B.write_artifact(res, out_dir)
+    art = B.GraphArtifact(spark, out_dir)
+
+    star = Repeat(Link("<next>"), "*")
+    assert path_pattern_over_blocks(art, "unkA", star, "unkB").count() == 0
+    assert path_pattern_over_blocks(art, "unkA", star, "unkA").count() == 1

@@ -415,3 +415,50 @@ def test_star_with_partial_partition_map(spark, tmp_path_factory):
     flat = {tuple(r) for r in match_bgp(triples, star, ["?x", "?y", "?z"]).collect()}
     got = {tuple(r) for r in match_partitioned(art, star, ["?x", "?y", "?z"]).collect()}
     assert got == flat == {("<ent:special>", "<ent:a0>", "<ent:a3>")}
+
+
+def test_satellite_prefilter_o2p_object_only_var(spark, artifact):
+    """The o2p half (Join::filterBySatellites checks BOTH directions,
+    Join.cpp:2419-2700): `?s <p:rare> ?x . ?t <p:knows> ?x` — ?x is
+    object-ONLY, but both predicates are measurably literal-free
+    (pred_stats n_lit = 0), so the in_preds requirement {rare, knows}
+    applies and the plan scans vertex_preds."""
+    triples, art = artifact
+    pats = [
+        TriplePattern("?s", "<p:rare>", "?x"),
+        TriplePattern("?t", "<p:knows>", "?x"),
+    ]
+    plan = _fmt_plan(match_over_blocks(art, pats, ["?s", "?t", "?x"]))
+    assert "vertex_preds" in plan
+    assert "in_preds" in plan
+    flat = {tuple(r) for r in
+            match_bgp(triples, pats, ["?s", "?t", "?x"]).collect()}
+    got = {tuple(r) for r in
+           match_over_blocks(art, pats, ["?s", "?t", "?x"]).collect()}
+    assert got == flat and len(got) > 0
+
+
+def test_satellite_o2p_skipped_when_literals_possible(spark, tmp_path_factory):
+    """A predicate with literal objects (n_lit > 0) must NOT license
+    in_preds pruning for an object-only var — a literal binding has no
+    vertex_preds row and would be silently dropped."""
+    rows = [
+        ("<ent:a>", "<p:name>", '"alice"', False),
+        ("<ent:b>", "<p:name>", "<ent:a>", True),
+        ("<ent:c>", "<p:likes>", "<ent:a>", True),
+        ("<ent:c>", "<p:likes>", '"pizza"', False),
+    ]
+    out = str(tmp_path_factory.mktemp("o2p_lit"))
+    triples, art = _build(spark, rows, out)
+    pats = [
+        TriplePattern("?s", "<p:name>", "?x"),
+        TriplePattern("?t", "<p:likes>", "?x"),
+    ]
+    plan = _fmt_plan(match_over_blocks(art, pats, ["?s", "?t", "?x"]))
+    assert "in_preds" not in plan
+    flat = {tuple(r) for r in
+            match_bgp(triples, pats, ["?s", "?t", "?x"]).collect()}
+    got = {tuple(r) for r in
+           match_over_blocks(art, pats, ["?s", "?t", "?x"]).collect()}
+    assert got == flat  # {('<ent:b>', '<ent:c>', '<ent:a>')}
+    assert len(got) == 1

@@ -232,3 +232,13 @@ def test_cosine_near_dup_agrees_with_exact(spark, emb):
     found = sum(1 for v, r in exact.items() if r != v and got[v] != v)
     if merged_exact:
         assert found / merged_exact >= 0.6
+
+
+def test_cosine_pairs_exact_guards_driver_collect(spark, emb, monkeypatch):
+    """The exact-pairs baseline refuses to collect an over-limit matrix to
+    the driver and points the caller at the bucketed scale path."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(SIM, "EXACT_PAIRS_MAX_ROWS", 3)
+    with _pytest.raises(ValueError, match="cosine_near_dup"):
+        SIM.cosine_pairs_exact(emb, "vec_id", "embedding", 0.4)

@@ -571,3 +571,46 @@ def test_update_groups_reject_paths_and_binds(spark):
     # are legal — only template/data groups reject them
     u = parse_update("DELETE { ?s <broke> ?o } WHERE { ?s <p>/<q> ?o }")
     assert u.where.path_patterns
+
+
+def test_values_undef_is_join_compatible(spark, agg_triples):
+    """An UNDEF cell is the spec's wildcard: the row constrains only its
+    bound vars — an inner join keyed on the NULL would drop solutions."""
+    got = run_sparql(
+        agg_triples,
+        'SELECT ?c ?n WHERE { ?c <in> ?n . '
+        'VALUES (?c ?n) { ("c1" UNDEF) (UNDEF "n2") } }',
+    ).collect()
+    assert sorted((r["c"], r["n"]) for r in got) == [("c1", "n1"), ("c3", "n2")]
+    # mixed bound/UNDEF rows in the SAME var
+    got = run_sparql(
+        agg_triples,
+        'SELECT ?c ?n WHERE { ?c <in> ?n . '
+        'VALUES (?c ?n) { ("c2" "n1") ("c3" UNDEF) } }',
+    ).collect()
+    assert sorted((r["c"], r["n"]) for r in got) == [("c2", "n1"), ("c3", "n2")]
+
+
+def test_sequential_bind_scoping(spark):
+    """A triple pattern AFTER a BIND that mentions its var must treat the
+    computed value as a binding (join key), not have it overwritten."""
+    rows = [
+        ("a", "<p>", "x"),
+        ("x_tag", "<q>", "hit"),
+        ("y_tag", "<q>", "other"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = run_sparql(
+        t,
+        'SELECT ?s ?z ?r WHERE { ?s <p> ?y . '
+        'BIND(CONCAT(?y, "_tag") AS ?z) . ?z <q> ?r }',
+    ).collect()
+    assert [(r["s"], r["z"], r["r"]) for r in got] == [("a", "x_tag", "hit")]
+    # a BIND consuming a var bound only by the tail pattern defers cleanly
+    got = run_sparql(
+        t,
+        'SELECT ?s ?rr WHERE { ?s <p> ?y . '
+        'BIND(CONCAT(?y, "_tag") AS ?z) . ?z <q> ?r . '
+        "BIND(UCASE(?r) AS ?rr) }",
+    ).collect()
+    assert [(r["s"], r["rr"]) for r in got] == [("a", "HIT")]

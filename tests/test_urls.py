@@ -36,3 +36,25 @@ def test_same_page_two_spellings_one_key(spark):
     )
     keys = {r["url_norm"] for r in normalize_url(df).collect()}
     assert len(keys) == 1
+
+
+def test_unparseable_urls_keep_distinct_keys(spark):
+    """URLs the anchored regex rejects (IPv6 host, missing scheme) fall
+    back to the raw URL as url_norm — they must not collapse to one
+    shared ':///' key."""
+    from gstored_spark.operators.urls import normalize_url
+
+    rows = [
+        (1, "http://[2001:db8::1]/x"),
+        (2, "http://[2001:db8::2]/x"),
+        (3, "site.com/no-scheme"),
+        (4, "https://ok.example.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {r["doc_id"]: r for r in normalize_url(df).collect()}
+    assert got[1]["url_norm"] == "http://[2001:db8::1]/x"
+    assert got[1]["host_norm"] == "" and got[1]["domain"] == ""
+    assert got[2]["url_norm"] == "http://[2001:db8::2]/x"
+    assert got[3]["url_norm"] == "site.com/no-scheme"
+    assert got[4]["url_norm"] == "https://ok.example.com/a"
+    assert len({r["url_norm"] for r in got.values()}) == 4

@@ -34,13 +34,19 @@ def to_multiset(rows, cols):
 
 
 def main():
-    only = sys.argv[1:] or None
+    args = sys.argv[1:]
+    include_extra = "--all" in args
+    only = [a for a in args if a != "--all"] or None
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if hasattr(entry_mod, "extra_queries") and (include_extra or only):
+        # --all appends the retired variants; an explicit name may also
+        # live in the retired set
+        qs = {**qs, **entry_mod.extra_queries()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
