@@ -74,6 +74,10 @@ QUERY_NAMES = [
     "token_count",
     "order_limit",
     "dict_encode",
+    # round-5 additions (absent from BENCH_r0{1..4}.json)
+    "sparql_assembled",
+    "distinct_order_limit",
+    "asof_join",
 ]
 
 
@@ -82,7 +86,10 @@ def main():
         "bench", cores=CPUS, shuffle_partitions=max(3 * CPUS, 16)
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = E.queries()
+    # some benchmarked variants were retired from the driver's graded
+    # window (see README "driver grading window") but stay benchmarked for
+    # round-over-round comparability
+    qs = {**E.queries(), **E.extra_queries()}
     timings: dict[str, float] = {}
 
     # --- KG pipeline leg -----------------------------------------------
