@@ -1249,14 +1249,14 @@ def _q_distinct_order_limit(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver grades the FIRST 50 entries in dict order
     (CORRECTNESS_r04.json = exactly keys 1-50 of round 4's 72), so this
-    registry is CURATED to 49 entries — one per operator family, newest /
+    registry is CURATED to 50 entries — one per operator family, newest /
     riskiest first. Retired redundant variants (each still pytest-covered,
     and each family keeps a graded sibling): bgp_triangle / bgp_ask /
     bgp_optional / bgp_parsed / left_optional / minus_anti / union_bag /
     distinct_proj+order_limit (merged into distinct_order_limit) /
     path_star_reach / path_seq / sparql_agg_sum / term_funcs /
     regex_filter / delete_where / minhash_lsh / content_fp / token_count /
-    events_window / sample_uniform / winnow / ann_srp / signature_bits /
+    events_window / sample_uniform / ann_srp / signature_bits /
     multi_join / describe_node. The full retired set still runs under
     pytest and tools/check_oracles.py --all (which evaluates
     EXTRA_QUERIES below with the same oracle gate)."""
@@ -1282,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_text": _q_embed_text,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
+        "winnow": _q_winnow,
         "events_sessionize": _q_events_sessionize,
         "mm_bytes": _q_mm_bytes,
         # -- store-backed SPARQL (the gStoreD core) ------------------------
@@ -1347,7 +1348,6 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "content_fp": _q_content_fp,
         "events_window": _q_events_window,
-        "winnow": _q_winnow,
         "sample_uniform": _q_sample_uniform,
     }
 
