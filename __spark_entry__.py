@@ -1149,6 +1149,31 @@ def _q_repetition(spark, sf):
     return repetition_stats(docs)
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/decontam.py): candidate docs
+    are probed against the broadcast n-gram set of a planted "eval suite"
+    (every 17th document), flagging any doc sharing a 4-word n-gram —
+    the GPT-3 appendix-C drop rule. All columns are integers or single
+    divisions, so the DuckDB oracle hash-matches exactly."""
+    from gstored_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    cands = docs.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(cands, eval_df, "doc_id", "text", n=4)
+
+
+def _q_tok_freq(spark, sf):
+    """CCNet-style corpus-frequency scoring (operators/quality.py):
+    vocabulary built in one pass, token streams probed and aggregated per
+    document; rare_max=100 isolates the corpus's genuinely rare tokens."""
+    from gstored_spark.operators.quality import corpus_frequency_stats
+
+    return corpus_frequency_stats(
+        _t(spark, sf, "documents"), "doc_id", "text", rare_max=100
+    )
+
+
 def _q_url_normalize(spark, sf):
     """URL canonicalization (operators/urls.py): one anchored regex splits
     components, normalization is a pure column chain — the dedup/grouping
@@ -1257,7 +1282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     path_star_reach / path_seq / sparql_agg_sum / term_funcs /
     regex_filter / delete_where / minhash_lsh / content_fp / token_count /
     events_window / sample_uniform / ann_srp / signature_bits /
-    multi_join / describe_node. The full retired set still runs under
+    multi_join / describe_node / bgp_ask_blocks (bgp_ask_lecf keeps the
+    store-backed ASK family) / filter_pushdown (pushdown is plan-asserted
+    in test_plans_quality.py and load-bearing in every blocks query).
+    The full retired set still runs under
     pytest and tools/check_oracles.py --all (which evaluates
     EXTRA_QUERIES below with the same oracle gate)."""
     return {
@@ -1266,6 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_assembled": _q_sparql_assembled,
         "distinct_order_limit": _q_distinct_order_limit,
         # -- LLM-data-pipeline operators (newest first) --------------------
+        "decontaminate": _q_decontaminate,
+        "tok_freq": _q_tok_freq,
         "cosine_dedup": _q_cosine_dedup,
         "sample_strata": _q_sample_strata,
         "train_split": _q_train_split,
@@ -1293,7 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_union": _q_bgp_union,
         "bgp_minus": _q_bgp_minus,
         "bgp_filter": _q_bgp_filter,
-        "bgp_ask_blocks": _q_bgp_ask_blocks,
         "bgp_ask_lecf": _q_bgp_ask_lecf,
         "pred_var_join": _q_pred_var_join,
         "path_plus": _q_path_plus,
@@ -1315,7 +1344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modify_where": _q_modify_where,
         # -- foundations ----------------------------------------------------
         "dict_encode": _q_dict_encode,
-        "filter_pushdown": _q_filter_pushdown,
         "groupcc": _q_groupcc,
     }
 
@@ -1335,6 +1363,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_triangle": _q_bgp_triangle,
         "bgp_optional": _q_bgp_optional,
         "bgp_ask": _q_bgp_ask,
+        "bgp_ask_blocks": _q_bgp_ask_blocks,
+        "filter_pushdown": _q_filter_pushdown,
         "bgp_parsed": _q_bgp_parsed,
         "path_star_reach": _q_path_star_reach,
         "path_seq": _q_path_seq,
@@ -2141,6 +2171,71 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN f USING (source)
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'),
                                        1, 6)) AS BIGINT) < f.thr
+        """,
+        "decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(trim(lower(text)),
+                                                   '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(ws) >= 4 THEN
+                               list_transform(generate_series(1, len(ws) - 3),
+                                              i -> array_to_string(ws[i:i+3], ' '))
+                           ELSE []::VARCHAR[] END)) AS gram
+                FROM tok WHERE doc_id % 17 <> 0
+            ),
+            egrams AS (
+                SELECT DISTINCT unnest(
+                           CASE WHEN len(ws) >= 4 THEN
+                               list_transform(generate_series(1, len(ws) - 3),
+                                              i -> array_to_string(ws[i:i+3], ' '))
+                           ELSE []::VARCHAR[] END) AS gram
+                FROM tok WHERE doc_id % 17 = 0
+            ),
+            per_doc AS (
+                SELECT g.doc_id,
+                       count(*) AS n_grams,
+                       count(e.gram) AS n_hits
+                FROM grams g LEFT JOIN egrams e USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+                   CASE WHEN coalesce(p.n_grams, 0) > 0
+                        THEN round(p.n_hits * 1.0 / p.n_grams, 6)
+                        ELSE 0.0 END AS contamination,
+                   coalesce(p.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+            LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "tok_freq": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(trim(lower(text)),
+                                                          '\\s+', ' ', 'g'),
+                                           ' ')) AS tok
+                FROM documents
+            ),
+            vocab AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+            per_doc AS (
+                SELECT doc_id,
+                       count(*) AS n_tokens,
+                       sum(freq) AS sum_freq,
+                       count(CASE WHEN freq <= 100 THEN 1 END) AS n_rare
+                FROM toks JOIN vocab USING (tok)
+                GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(sum_freq * 1.0 / n_tokens, 6) AS mean_tok_freq,
+                   round(n_rare * 1.0 / n_tokens, 6) AS rare_frac,
+                   n_rare * 1.0 / n_tokens > 0.5 AS unfamiliar
+            FROM per_doc
         """,
         "repetition": """
             WITH w AS (

@@ -78,6 +78,8 @@ QUERY_NAMES = [
     "sparql_assembled",
     "distinct_order_limit",
     "asof_join",
+    "decontaminate",
+    "tok_freq",
 ]
 
 

@@ -68,3 +68,58 @@ def repetition_stats(
         (F.col("dup_word_frac") > DUP_WORD_MAX)
         | (F.col("top_bigram_frac") > TOP_BIGRAM_MAX),
     )
+
+
+def corpus_frequency_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 100,
+) -> DataFrame:
+    """CCNet-style corpus-frequency document scoring (Wenzek et al. 2020).
+
+    CCNet ranks Common-Crawl documents by language-model perplexity; the
+    engine-side analog that needs no external model is scoring a document
+    by how COMMON its tokens are in the corpus itself — boilerplate and
+    generated junk skew toward tokens the corpus has never seen (typos,
+    hashes, markup fragments), and that signal is a pure two-aggregate
+    DataFrame plan:
+
+      pass 1: token -> corpus occurrence count (explode + groupBy token,
+              partial-aggregated map-side; the result is VOCABULARY-sized,
+              orders of magnitude smaller than the corpus);
+      pass 2: probe each document's token stream against that table and
+              aggregate per document.
+
+    Returns (id_col, n_tokens, mean_tok_freq, rare_frac, unfamiliar):
+      mean_tok_freq  average corpus count of the document's tokens,
+      rare_frac      fraction of tokens with corpus count <= rare_max,
+      unfamiliar     rare_frac > 0.5 — mostly-rare documents.
+
+    Every reported number is an integer sum or a single division of two
+    integers (no floating-point accumulation), so the values are
+    order-independent and reproduce bit-for-bit in external engines —
+    the driver oracle hash-matches against DuckDB. At 100 TB the vocab
+    join is broadcast-or-shuffle by AQE's live size estimate; the only
+    corpus-keyed shuffles are the token count and the final per-document
+    aggregate, both map-side combined.
+    """
+    ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(F.col(id_col), F.explode(ws).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("__sum_freq"),
+            F.count(F.when(F.col("freq") <= rare_max, 1)).alias("__n_rare"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("__sum_freq") / F.col("n_tokens"), 6).alias("mean_tok_freq"),
+        F.round(F.col("__n_rare") / F.col("n_tokens"), 6).alias("rare_frac"),
+        (F.col("__n_rare") / F.col("n_tokens") > 0.5).alias("unfamiliar"),
+    )

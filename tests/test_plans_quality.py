@@ -48,3 +48,11 @@ def test_bgp_star_single_scan_filters(spark):
 def test_no_cartesian_in_triangle(spark):
     plan = _plan(_q("bgp_triangle")(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The eval n-gram probe must be a broadcast hash join — at 100 TB the
+    corpus stream cannot shuffle against a benchmark-sized eval set."""
+    plan = _plan(_q("decontaminate")(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
