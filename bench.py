@@ -83,6 +83,18 @@ QUERY_NAMES = [
 ]
 
 
+def _steal_busy() -> tuple[float, float]:
+    """(hypervisor steal, user+nice busy) seconds from /proc/stat. Steal is
+    THE confounder on this shared VM (a 2026-08-19 scaling leg lost 33% of
+    its wall clock to steal in an otherwise idle window); recording it per
+    bench run lets a reader judge the window without a separate harness."""
+    try:
+        v = list(map(int, open("/proc/stat").readline().split()[1:9]))
+        return v[7] / 100.0, (v[0] + v[1]) / 100.0
+    except Exception:
+        return float("nan"), float("nan")
+
+
 def main():
     spark = get_spark(
         "bench", cores=CPUS, shuffle_partitions=max(3 * CPUS, 16)
@@ -103,12 +115,14 @@ def main():
 
     # n_parts is a property of the output graph layout, held constant across
     # parallelism levels so local[8] vs local[32] run the *same job*
+    steal0, busy0 = _steal_busy()
     t0 = time.time()
     res = run_pipeline(spark, docs, n_parts=16, release_input=True)
     n_triples = res.id_triples.count()
     n_adj = res.adjacency.count()
     n_psig = res.part_sig.count()
     pipeline_sec = time.time() - t0
+    steal1, busy1 = _steal_busy()
     triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
     timings["kg_pipeline"] = round(pipeline_sec, 3)
 
@@ -143,6 +157,8 @@ def main():
         "adjacency_rows": n_adj,
         "partitions": n_psig,
         "pipeline_sec": round(pipeline_sec, 3),
+        "pipeline_steal_s": round(steal1 - steal0, 1),
+        "pipeline_host_busy_s": round(busy1 - busy0, 1),
         "cpus": CPUS,
     }
     print(json.dumps(out))
