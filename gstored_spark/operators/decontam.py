@@ -87,12 +87,14 @@ def decontaminate(
     shuffle-free until the per-document aggregate. Filter the corpus with
     ``~contaminated`` to apply the GPT-3 rule.
     """
-    base = docs.select(
+    from gstored_spark.partitioning import spread_scan
+
+    base = spread_scan(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode_outer(_distinct_ngrams(text_col, n)).alias("gram"),
     )
     evalg = F.broadcast(
-        eval_ngram_set(eval_df, text_col, n).withColumn("__hit", F.lit(1))
+        eval_ngram_set(spread_scan(eval_df), text_col, n).withColumn("__hit", F.lit(1))
     )
     agg = base.join(evalg, "gram", "left").groupBy(id_col).agg(
         # count() skips nulls: the explode_outer placeholder row keeps

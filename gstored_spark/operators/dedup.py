@@ -197,11 +197,16 @@ def minhash_dedup(
     """Full near-dup pipeline -> (vertex=id, component) duplicate clusters."""
     from pyspark.storagelevel import StorageLevel
 
+    from gstored_spark.partitioning import spread_scan
+
     sh = char_shingles(F.col(text_col), n) if char_grams else word_shingles(F.col(text_col), n)
     # consumed twice (minhash chain + exact-Jaccard verify join) — checkpoint
-    # so the shingle transform over the full corpus runs once
+    # so the shingle transform over the full corpus runs once; spread_scan
+    # keeps the shingling (interpreted higher-order exprs) off a single
+    # one-row-group scan task
     shingled = (
-        df.select(F.col(id_col), sh.alias("shingles"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), barrier=True)
+        .select(F.col(id_col), sh.alias("shingles"))
         .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
@@ -234,8 +239,11 @@ def ngram_jaccard_pairs(
     Intersections are counted over all shared tokens of generated pairs via
     exact array_intersect, so the cap affects candidate generation only.
     """
+    from gstored_spark.partitioning import spread_scan
+
     toks = (
-        df.select(F.col(id_col).alias("a"), F.array_distinct(tokens(F.col(text_col))).alias("ts"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)), barrier=True)
+        .select(F.col(id_col).alias("a"), F.array_distinct(tokens(F.col(text_col))).alias("ts"))
         .withColumn("ts", F.filter("ts", lambda t: t != ""))
         .filter(F.size("ts") > 0)
     )
@@ -280,8 +288,11 @@ def simhash_hex(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Bit b lives in hex digit b//4 of the digest, MSB-first within the digit
     — pure string/integer ops, so a DuckDB oracle reproduces it exactly.
     """
+    from gstored_spark.partitioning import spread_scan
+
     toks = (
-        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        spread_scan(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("h", F.md5("tok"))
     )

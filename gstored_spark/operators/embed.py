@@ -34,8 +34,11 @@ def text_embedding_sparse(
 ) -> DataFrame:
     """-> (id, i, val): l2-normalized signed bucket counts, val rounded to
     6 decimals, zero buckets omitted."""
+    from gstored_spark.partitioning import spread_scan
+
     toks = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        spread_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("h", F.md5("tok"))
     )

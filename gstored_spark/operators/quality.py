@@ -30,8 +30,10 @@ def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, n_words, dup_word_frac, top_bigram_frac, repetitive) per doc."""
+    from gstored_spark.partitioning import spread_scan
+
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
+    base = spread_scan(df.select(F.col(id_col), F.col(text_col)), barrier=True).select(
         F.col(id_col),
         words.alias("__ws"),
         F.size(words).alias("n_words"),
@@ -104,8 +106,12 @@ def corpus_frequency_stats(
     corpus-keyed shuffles are the token count and the final per-document
     aggregate, both map-side combined.
     """
+    from gstored_spark.partitioning import spread_scan
+
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toks = df.select(F.col(id_col), F.explode(ws).alias("tok"))
+    toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(ws).alias("tok")
+    )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     per_doc = (
         toks.join(vocab, "tok")

@@ -40,14 +40,67 @@ def topk_cosine(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 5
 ) -> DataFrame:
     """Brute force: queries x corpus -> (qid, nid, rank). Deterministic
-    tie-break on (score desc, nid asc); self-matches excluded. The query
-    side is broadcast (it is the small side by construction)."""
+    tie-break on (score desc, nid asc); self-matches excluded; score =
+    round(dot / (|q| * |n|), 6) in double. The query side is collected and
+    broadcast (it is the small side by construction — it was broadcast
+    before as a join side).
+
+    Execution shape: each Arrow batch of corpus rows scores against the
+    broadcast query matrix with ONE float64 numpy matmul and emits only
+    its per-batch top-k rows per query; a global row_number window
+    finishes the exact ranking over partitions*k*|Q| candidate rows.
+    (This replaced a BroadcastNestedLoopJoin whose per-pair score was
+    interpreted aggregate/zip_with higher-order expressions — recomputing
+    BOTH vector norms for every pair — running in a single task because
+    the corpus parquet is one input split.)"""
     from pyspark.sql.window import Window
 
+    spark = corpus.sparkSession
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
-    scored = scored.withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    rows = q.collect()
+    qids = np.array([r["qid"] for r in rows])
+    qmat = np.array([r["qv"] for r in rows], dtype=np.float64)
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, qmat, qn))
+
+    from gstored_spark.partitioning import spread_scan
+
+    side = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    # spread the matmul: a single parquet file would otherwise score the
+    # whole corpus in one task (no-op when the scan has enough splits)
+    side = spread_scan(side)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bqmat, bqn = bc.value
+        if len(bqids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["nid"].to_numpy()
+            nv = np.array(pdf["nv"].tolist(), dtype=np.float64)
+            nn = np.sqrt((nv * nv).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.round((bqmat @ nv.T) / (bqn[:, None] * nn[None, :]), 6)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(bqids)):
+                # same (score desc, nid asc) order as the global window, so
+                # the per-batch cut keeps every global-top-k candidate
+                order = np.lexsort((nid, -scores[qi]))
+                sel = order[nid[order] != bqids[qi]][:k]
+                out_q.append(np.full(len(sel), bqids[qi]))
+                out_n.append(nid[sel])
+                out_s.append(scores[qi, sel])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "nid": np.concatenate(out_n),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    id_dt = side.schema["nid"].dataType.simpleString()
+    scored = side.mapInPandas(gen, schema=f"qid {id_dt}, nid {id_dt}, score double")
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -215,6 +268,12 @@ def cosine_pairs_exact(
     mat = np.array([r["va"] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids_all, mat, norms))
+    # spread the O(n^2) matmul: a single parquet file would otherwise put
+    # the entire block-matmul in one task (the pair set is independent of
+    # the physical partitioning; no-op when the scan has enough splits)
+    from gstored_spark.partitioning import spread_scan
+
+    side = spread_scan(side)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bids, bmat, bnorms = bc.value

@@ -205,13 +205,56 @@ def winnow_md5(text: str, k: int = _GRAM, window: int = _WINDOW) -> tuple[int, s
     return len(ordered), hashlib.md5(",".join(ordered).encode("utf-8")).hexdigest()
 
 
+def _winnow_md5_vec(text: str, k: int = _GRAM, window: int = _WINDOW) -> tuple[int, str | None]:
+    """Vectorized twin of winnow_md5 (identical output, asserted in tests):
+    the per-gram md5 loop hashes memoryview slices to raw digests (no hex
+    materialization), and the sliding-window rightmost-min selection runs
+    as numpy array ops over the digests' order codes instead of a Python
+    min() per window. Digest BYTE order equals hex-string order (md5 hex
+    compares like the 128-bit value), so the selection is unchanged."""
+    import hashlib
+
+    import numpy as np
+
+    s = " ".join(text.lower().split())
+    if len(s) < k:
+        return 0, None
+    n = len(s) - k + 1
+    m = hashlib.md5
+    if s.isascii():
+        mv = memoryview(s.encode())
+        buf = b"".join([m(mv[i : i + k]).digest() for i in range(n)])
+    else:
+        # char grams != byte grams for non-ASCII: slice the str, like the
+        # reference implementation
+        buf = b"".join([m(s[i : i + k].encode("utf-8")).digest() for i in range(n)])
+    digs = np.frombuffer(buf, dtype="S16")
+    # rank codes preserve digest order (trailing-NUL stripping in numpy's
+    # bytes compare cannot reorder equal-length strings: NUL is minimal)
+    codes = np.unique(digs, return_inverse=True)[1]
+    if n <= window:
+        mn = codes.min()
+        sel_pos = np.nonzero(codes == mn)[0][-1:]
+    else:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(codes, window)
+        mn = win.min(axis=1)
+        eq = win == mn[:, None]
+        # rightmost occurrence of the window minimum (the -j tie-break)
+        idx = window - 1 - np.argmax(eq[:, ::-1], axis=1)
+        sel_pos = np.unique(np.arange(win.shape[0]) + idx)
+    ordered = [buf[p * 16 : (p + 1) * 16].hex() for p in sel_pos]
+    return len(ordered), m(",".join(ordered).encode("utf-8")).hexdigest()
+
+
 @pandas_udf(
     StructType(
         [StructField("n_fp", LongType()), StructField("fp_hash", StringType())]
     )
 )
 def winnow_md5_udf(text: pd.Series) -> pd.DataFrame:
-    rows = [winnow_md5(t) if t is not None else (0, None) for t in text]
+    rows = [_winnow_md5_vec(t) if t is not None else (0, None) for t in text]
     return pd.DataFrame(rows, columns=["n_fp", "fp_hash"])
 
 
@@ -219,10 +262,22 @@ def winnow_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Map-only winnowing -> (id, n_fp, fp_hash). The 100 TB shape: one
     Arrow batch pass, no shuffle; selection identical to
     winnow_features_sql (asserted in tests) and to the DuckDB oracle."""
-    out = df.select(F.col(id_col), winnow_md5_udf(F.col(text_col)).alias("w")).select(
-        id_col, F.col("w.n_fp").alias("n_fp"), F.col("w.fp_hash").alias("fp_hash")
+    from gstored_spark.partitioning import spread_scan
+
+    # n_fp > 0 iff the normalized text has at least one k-gram — filter
+    # BEFORE the UDF with the equivalent JVM predicate (the same WHERE the
+    # SQL oracle uses). Filtering on the UDF's own output column made the
+    # optimizer push the filter (and a duplicate ArrowEvalPython) below
+    # the spread exchange: the whole corpus paid the Python pass twice,
+    # once single-task (guide §4.4).
+    base = df.select(F.col(id_col), F.col(text_col)).filter(
+        F.length(normalized_text(F.col(text_col))) >= _GRAM
     )
-    return out.filter(F.col("n_fp") > 0)
+    return (
+        spread_scan(base)
+        .select(F.col(id_col), winnow_md5_udf(F.col(text_col)).alias("w"))
+        .select(id_col, F.col("w.n_fp").alias("n_fp"), F.col("w.fp_hash").alias("fp_hash"))
+    )
 
 
 def winnow_features_sql(

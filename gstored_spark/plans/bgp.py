@@ -177,6 +177,38 @@ def greedy_order(
     return order
 
 
+# estimated first-leaf size above which one repartition is cheap next to
+# the serial scan it prevents (an exchange of ~8 MB of skinny rows costs
+# well under a second; a two-row-group scan feeding an explosive join
+# chain costs minutes — guide §2 scale-adaptive partitioning)
+SPREAD_LEAF_MIN_BYTES = 8 * 1024 * 1024
+
+
+def _spread_large_leaf(df: DataFrame, pat: "TriplePattern") -> DataFrame:
+    """The FIRST leaf in join order is the streamed side of the whole
+    broadcast-join chain: its scan partitioning becomes the task count of
+    every downstream join and of the final aggregation. A large leaf read
+    from a one-row-group parquet file would serialize the explosive part
+    of the query into one or two tasks. Spread only when (a) the pattern
+    has no subject/object constant (a constant endpoint means the leaf is
+    selective even when the pre-filter size estimate is not), (b) the
+    optimizer's size estimate says the leaf is big enough that one
+    exchange is cheap by comparison, and (c) the current plan is actually
+    parallelism-deficient (spread_scan's no-op check) — at production
+    split counts this never fires."""
+    if not (is_var(pat.s) and is_var(pat.o)):
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if size < SPREAD_LEAF_MIN_BYTES:
+        return df
+    from gstored_spark.partitioning import spread_scan
+
+    return spread_scan(df)
+
+
 def match_bgp(
     triples: DataFrame,
     patterns: list[TriplePattern],
@@ -213,7 +245,7 @@ def match_bgp(
                     cand = candidates[name].toDF(name)
                     pdf = pdf.join(cand, name, "leftsemi")
         if acc is None:
-            acc, acc_vars = pdf, pvars
+            acc, acc_vars = _spread_large_leaf(pdf, patterns[idx]), pvars
             continue
         shared = [v[1:] for v in (acc_vars & pvars)]
         if shared:
