@@ -283,11 +283,17 @@ def _graph_artifact(spark: SparkSession, sf: str) -> "object":
         n_parts = 8
         triples = _graph_triples(spark, sf).withColumn("o_is_entity", F.lit(True))
         entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
-        id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
-        routed = P.route_triples(id_triples, n_parts)
-        internal = P.internal_vertices(routed, n_parts)
-        adj = B.adjacency(routed, internal)
-        sigs = B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict)
+        # checkpoint each shared stage once: write_artifact submits FIVE
+        # concurrent writer chains, and without a materialization barrier
+        # each chain re-derives the whole upstream DAG (encode -> route ->
+        # adjacency/signatures) from the raw scans — ~5x the stage compute
+        # on top of the writes
+        chk = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        id_triples = chk(I.encode_triples(triples, entity_dict, literal_dict, pred_dict))
+        routed = chk(P.route_triples(id_triples, n_parts))
+        internal = chk(P.internal_vertices(routed, n_parts))
+        adj = chk(B.adjacency(routed, internal))
+        sigs = chk(B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict))
         part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
         res = PipelineResult(
             triples=triples, entity_dict=entity_dict, literal_dict=literal_dict,

@@ -346,10 +346,16 @@ def write_artifact(
             partitioned_signatures(result.signatures, result.internal), sig_buckets
         )
         # (part, bucket) are both partition directories: the matcher's
-        # disjunctive (part, bucket) filter prunes at file level on both
-        part_sigs.write.mode(mode).partitionBy("part", "bucket").parquet(
-            f"{out_dir}/signatures"
-        )
+        # disjunctive (part, bucket) filter prunes at file level on both.
+        # Cluster rows by those columns BEFORE the dynamic-partition write:
+        # without it every writer task emits a file into every directory it
+        # sees — tasks x (parts*buckets) files (measured 65,536 files /
+        # 566 MB at 1.7M triples, the bulk of a 133 s store write; one file
+        # per directory cuts that ~32x and speeds every later read's
+        # listing too)
+        part_sigs.repartition(F.col("part"), F.col("bucket")).write.mode(
+            mode
+        ).partitionBy("part", "bucket").parquet(f"{out_dir}/signatures")
         bucket_signature(part_sigs).write.mode(mode).parquet(f"{out_dir}/bucket_sig")
         spark.createDataFrame(
             [(3, sig_buckets, pred_buckets, hash_routed, counts["nv"], counts["np"])],
