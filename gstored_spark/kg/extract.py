@@ -61,8 +61,9 @@ def extract_text(html: bytes | None) -> str | None:
     for m in _PARA.finditer(body):
         s = m.group(1).decode("utf-8", errors="replace")
         s = _TAG.sub(" ", s)
-        for k, v in _ENTITIES.items():
-            s = s.replace(k, v)
+        if "&" in s:  # entity replaces are no-ops without an ampersand
+            for k, v in _ENTITIES.items():
+                s = s.replace(k, v)
         s = _WS.sub(" ", s).strip()
         if s:
             paras.append(s)

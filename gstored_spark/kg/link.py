@@ -81,15 +81,26 @@ def alias_dictionary(mention_triples: DataFrame) -> DataFrame:
     surface form that *stated* the name maps to the stated canonical name —
     plus the identity alias of each canonical name."""
     names = mention_triples.filter(F.col("pred") == PRED_NAME)
-    stated = names.select(
-        light_norm(F.col("subj_mention")).alias("alias"),
-        F.col("obj_mention").alias("canonical"),
-    )
-    identity = names.select(
-        light_norm(F.col("obj_mention")).alias("alias"),
-        F.col("obj_mention").alias("canonical"),
-    )
-    return stated.unionByName(identity).distinct()
+    # one scan, not two: the union-of-selects shape read the (large) mention
+    # stream once per branch; emitting both alias rows per name statement
+    # from a single pass halves the stream scan feeding the distinct
+    # (guide §2.3 "aggregate before you shuffle" — the shuffle itself is
+    # unchanged, only the map side is)
+    pairs = names.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    light_norm(F.col("subj_mention")).alias("alias"),
+                    F.col("obj_mention").alias("canonical"),
+                ),
+                F.struct(
+                    light_norm(F.col("obj_mention")).alias("alias"),
+                    F.col("obj_mention").alias("canonical"),
+                ),
+            )
+        ).alias("ac")
+    ).select("ac.alias", "ac.canonical")
+    return pairs.distinct()
 
 
 def link_surfaces(

@@ -90,17 +90,61 @@ def run_pipeline(
             )
         return store.materialize(name, df, part_col)
 
-    # extraction has a single consumer (SVO extraction) — no checkpoint
-    # between them, so HTML->text and sentence->triples fuse into one
-    # mapInPandas pass over the corpus (one job instead of two + one less
-    # full-corpus block store)
-    docs = E.extracted(documents) if store is None else stage("extracted", E.extracted(documents))
-    mentions = stage("mention_triples", Tr.mention_triples(docs))
+    # extraction has a single consumer (SVO extraction) — with no snapshot
+    # store the two Python passes fuse into ONE mapInPandas over the raw
+    # corpus (mention_triples_raw): the text corpus crosses the JVM<->Python
+    # boundary once instead of three times (html out, text back, text out
+    # again), guide §4.1
+    if store is None:
+        mentions = stage("mention_triples", Tr.mention_triples_raw(documents))
+    else:
+        docs = stage("extracted", E.extracted(documents))
+        mentions = stage("mention_triples", Tr.mention_triples(docs))
     if release_input and store is None:
         # the corpus has exactly one consumer (the fused extract+SVO pass,
         # just materialized) — release its cached blocks so they stop
         # pressuring the block store for the rest of the run
         documents.unpersist()
+    # scale-adaptive shuffle sizing for every mention-derived stage (guide
+    # §2.2 "fewer, larger reduce partitions", made adaptive rather than a
+    # constant): the session default is cluster/pipeline sizing (3x cores at
+    # bench scale); for the measured mention count, target ~64k rows per
+    # reduce partition with a floor at the executor parallelism so CPU-heavy
+    # aggregations stay wide. At web scale rows/64k exceeds the session
+    # default and this clamp is a no-op.
+    spark_ = documents.sparkSession
+    if store is None:
+        n_mentions = mentions.count()  # one cheap job over checkpointed blocks
+        session_parts = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+        target = min(
+            session_parts,
+            max(int(spark_.sparkContext.defaultParallelism), n_mentions // 64_000),
+        )
+    else:
+        target = None
+
+    class _scope:
+        def __enter__(self):
+            if target is not None:
+                self.old = spark_.conf.get("spark.sql.shuffle.partitions")
+                spark_.conf.set("spark.sql.shuffle.partitions", str(target))
+            return self
+
+        def __exit__(self, *exc):
+            if target is not None:
+                spark_.conf.set("spark.sql.shuffle.partitions", self.old)
+
+    with _scope():
+        return _run_pipeline_body(
+            spark, documents, mentions, n_parts, store, partition_map,
+            salt_threshold, canon_checkpoint_dir, stage,
+        )
+
+
+def _run_pipeline_body(
+    spark, documents, mentions, n_parts, store, partition_map,
+    salt_threshold, canon_checkpoint_dir, stage,
+):
     triples = stage(
         "canonical_triples",
         C.canonical_triples_from_mentions(mentions, checkpoint_dir=canon_checkpoint_dir),
@@ -148,6 +192,12 @@ def run_pipeline(
 
     def adj_chain():
         hot = P.hot_subjects(routed, salt_threshold)
+        # the degree scan runs either way (it is the broadcast build side of
+        # the salting join); when it finds NO hot subject, skip the salt
+        # join and the two-level collect/flatten/merge aggregation outright —
+        # single-level adjacency is identical output for an all-cold graph
+        if hot.limit(1).count() == 0:
+            return stage("adjacency", B.adjacency(routed, internal), "part")
         salted = P.salted_shuffle_key(routed, hot)
         return stage("adjacency", B.adjacency(salted, internal, salt_col="salt"), "part")
 
@@ -185,5 +235,4 @@ def run_pipeline(
 
 def triples_from_documents(spark: SparkSession, documents: DataFrame) -> DataFrame:
     """Shortcut: documents -> canonical string triples (the P/R surface)."""
-    docs = E.extracted(documents)
-    return C.canonical_triples_from_mentions(Tr.mention_triples(docs))
+    return C.canonical_triples_from_mentions(Tr.mention_triples_raw(documents))

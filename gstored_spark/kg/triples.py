@@ -100,3 +100,39 @@ def mention_triples(docs_with_text: DataFrame) -> DataFrame:
     return docs_with_text.select("url", "text").mapInPandas(
         _gen, schema=MENTION_TRIPLES_SCHEMA
     )
+
+
+def _gen_raw(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gstored_spark.kg.extract import extract_text
+
+    cols = ["subj_mention", "pred", "obj_mention", "o_is_entity", "url"]
+    for pdf in batches:
+        rows = []
+        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            if text is None:
+                text = extract_text(html)
+            if not text:
+                continue
+            for s, p, o, e in extract_document(text):
+                rows.append((s, p, o, e, url))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def mention_triples_raw(documents: DataFrame, only_lang: str | None = "en") -> DataFrame:
+    """Fused extract+SVO: raw documents -> mention triples in ONE Python
+    pass (guide §4.1: every boundary crossing pays an Arrow transpose —
+    the staged ``mention_triples(extracted(docs))`` shape ships the corpus
+    JVM->Python for HTML extraction, back to the JVM, then JVM->Python
+    again for SVO matching; this ships it exactly once and never
+    materializes ``text`` on the JVM side).
+
+    Row-for-row identical output to the staged path: both call the same
+    pure ``extract_text`` / ``extract_document`` (equivalence pytest-
+    asserted); the language filter stays a JVM predicate pushed to the
+    source scan."""
+    docs = documents
+    if only_lang:
+        docs = docs.filter(docs["lang"] == only_lang)
+    return docs.select("url", "html", "text").mapInPandas(
+        _gen_raw, schema=MENTION_TRIPLES_SCHEMA
+    )

@@ -174,11 +174,21 @@ def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, id_col: str,
     shingles_col: str = "shingles", threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs; keeps pairs >= threshold."""
+    """Exact Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    Size-ratio prefilter (classic length filter, exact): |A∩B| <= min and
+    |A∪B| >= max, so J <= min(|A|,|B|)/max(|A|,|B|) — a pair whose size
+    ratio is below the threshold can never verify and is dropped BEFORE the
+    O(|A|+|B|) intersect/union work (LSH banding emits ~100x more
+    candidates than survivors; the epsilon keeps the filter conservative
+    under FP rounding, so it only ever admits extras, never drops a true
+    pair)."""
     sa = shingled.select(F.col(id_col).alias("a"), F.col(shingles_col).alias("sh_a"))
     sb = shingled.select(F.col(id_col).alias("b"), F.col(shingles_col).alias("sh_b"))
+    na, nb = F.size("sh_a"), F.size("sh_b")
     return (
         pairs.join(sa, "a").join(sb, "b")
+        .filter(F.least(na, nb) >= F.greatest(na, nb) * threshold - 1e-9)
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -131,3 +131,49 @@ def test_normalize_mention_col_matches_python(spark):
     got = {r["m"]: r["n"] for r in df.select("m", normalize_mention_col(F.col("m")).alias("n")).collect()}
     for c in cases:
         assert got[c] == normalize_mention(c), repr(c)
+
+
+def test_fused_mention_pass_equals_staged(spark, docs200):
+    """mention_triples_raw (single fused mapInPandas over raw docs) must be
+    row-for-row identical to the staged extracted()+mention_triples path —
+    the r06 boundary-fusion optimization may not change a single row."""
+    staged = Tr.mention_triples(E.extracted(docs200)).collect()
+    fused = Tr.mention_triples_raw(docs200).collect()
+    key = lambda r: (r["subj_mention"], r["pred"], r["obj_mention"], r["o_is_entity"], r["url"])
+    assert sorted(map(key, staged)) == sorted(map(key, fused))
+    assert len(fused) > 100
+
+
+def test_alias_dictionary_single_pass_semantics(spark, docs200):
+    """The exploded one-scan alias build equals the old two-branch union."""
+    mentions = Tr.mention_triples(E.extracted(docs200))
+    got = {(r["alias"], r["canonical"]) for r in L.alias_dictionary(mentions).collect()}
+    names = mentions.filter(F.col("pred") == SC.PRED_NAME)
+    stated = names.select(
+        L.light_norm(F.col("subj_mention")).alias("alias"),
+        F.col("obj_mention").alias("canonical"))
+    identity = names.select(
+        L.light_norm(F.col("obj_mention")).alias("alias"),
+        F.col("obj_mention").alias("canonical"))
+    want = {(r["alias"], r["canonical"]) for r in stated.unionByName(identity).distinct().collect()}
+    assert got == want and len(got) > 10
+
+
+def test_jaccard_verify_size_prefilter_exact():
+    """The size-ratio prefilter may only drop pairs that cannot reach the
+    threshold: boundary pairs (min/max == tau exactly, containment) must
+    survive and verify."""
+    from pyspark.sql import SparkSession
+
+    from gstored_spark.operators.dedup import jaccard_verify
+
+    sp = SparkSession.getActiveSession()
+    sh = sp.createDataFrame(
+        [("x", ["a", "b", "c", "d"]),        # |x|=4
+         ("y", ["a", "b", "c", "d", "e"]),   # x ⊂ y: J = 4/5 = 0.8 exactly
+         ("z", ["a", "q"])],                 # ratio 2/5 < 0.8 -> prefiltered
+        schema="id string, shingles array<string>")
+    pairs = sp.createDataFrame([("x", "y"), ("y", "z")], schema="a string, b string")
+    got = {(r["a"], r["b"], round(r["jaccard"], 6))
+           for r in jaccard_verify(pairs, sh, "id", threshold=0.8).collect()}
+    assert got == {("x", "y", 0.8)}
