@@ -173,7 +173,15 @@ def partition_signature(part_sigs: DataFrame) -> DataFrame:
 
 
 SIG_BUCKETS = 16
-SIG_BUCKET_TARGET_VERTICES = 1024  # vertices per (part, bucket) OR-group
+# vertices per (part, bucket) OR-group. 4096 (was 1024): each (part, bucket)
+# pair is a parquet DIRECTORY with one file, so the target directly sets the
+# store's file count and file size — at 1024 a 1.66M-vertex store wrote
+# 2,048 files of ~50 KB and the per-file writer open/footer/close overhead
+# dominated the signature-tree write (measured 7.6 s from checkpointed
+# input; ~3 ms/file). 4x coarser buckets cut that 4x while staying well
+# inside the same pruning regime (bucket_sig covers-pruning is conservative
+# at any granularity; guide §6 "aim for fewer, larger output files").
+SIG_BUCKET_TARGET_VERTICES = 4096
 SIG_BUCKETS_MAX = 4096
 
 
@@ -342,9 +350,13 @@ def write_artifact(
         sig_buckets = adaptive_sig_buckets(
             counts["nv"], counts["np"], target=sig_bucket_target
         )
+        # materialized ONCE: both the directory write and bucket_signature
+        # consume part_sigs; unchekpointed, each re-derived the
+        # signatures-x-internal join and bucket assignment (~3 s at 1.7M
+        # vertices)
         part_sigs = with_sig_buckets(
             partitioned_signatures(result.signatures, result.internal), sig_buckets
-        )
+        ).localCheckpoint(eager=True)
         # (part, bucket) are both partition directories: the matcher's
         # disjunctive (part, bucket) filter prunes at file level on both.
         # Cluster rows by those columns BEFORE the dynamic-partition write:

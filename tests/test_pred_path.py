@@ -223,10 +223,11 @@ def test_ask_over_blocks(spark, artifact):
 
 def test_adaptive_sig_buckets_growth():
     f = B.adaptive_sig_buckets
+    t = B.SIG_BUCKET_TARGET_VERTICES
     assert f(100, 4) == B.SIG_BUCKETS  # small data: floor
-    assert f(4 * 16 * 1024, 4) == 16
-    assert f(4 * 64 * 1024, 4) == 64  # 64k vertices/part -> 64 buckets
-    assert f(10**9, 4, ) == B.SIG_BUCKETS_MAX  # clamped
+    assert f(4 * 32 * t, 4) == 32  # 32*target vertices/part -> 32 buckets
+    assert f(4 * 128 * t, 4) == 128
+    assert f(10**12, 4, ) == B.SIG_BUCKETS_MAX  # clamped
     assert f(0, 0) == B.SIG_BUCKETS  # degenerate inputs
 
 
