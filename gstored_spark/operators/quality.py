@@ -101,25 +101,42 @@ def corpus_frequency_stats(
     Every reported number is an integer sum or a single division of two
     integers (no floating-point accumulation), so the values are
     order-independent and reproduce bit-for-bit in external engines —
-    the driver oracle hash-matches against DuckDB. At 100 TB the vocab
-    join is broadcast-or-shuffle by AQE's live size estimate; the only
-    corpus-keyed shuffles are the token count and the final per-document
-    aggregate, both map-side combined.
+    the driver oracle hash-matches against DuckDB.
+
+    Shuffle shape (guide §2.3 "aggregate before you shuffle"): the token
+    stream is reduced to per-document DISTINCT (id, tok, cnt) rows first —
+    one map-side-combined shuffle — and that pre-aggregate (materialized
+    once, so the corpus explode runs exactly once) feeds BOTH the vocab
+    count (sum of cnt) and the probe join. On natural text distinct
+    per-doc tokens are a small fraction of occurrences, so the join input
+    and the vocab shuffle shrink by the same factor; occurrence-weighted
+    sums (n_tokens = Σcnt, Σ freq·cnt, Σ cnt where rare) are integer-exact
+    equal to the per-occurrence originals. At 100 TB the vocab join is
+    broadcast-or-shuffle by AQE's live size estimate.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from gstored_spark.partitioning import spread_scan
 
     ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toks = spread_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(ws).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    tok_counts = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = tok_counts.groupBy("tok").agg(F.sum("cnt").alias("freq"))
     per_doc = (
-        toks.join(vocab, "tok")
+        tok_counts.join(vocab, "tok")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("freq").alias("__sum_freq"),
-            F.count(F.when(F.col("freq") <= rare_max, 1)).alias("__n_rare"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("cnt")).alias("__sum_freq"),
+            F.sum(
+                F.when(F.col("freq") <= rare_max, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("__n_rare"),
         )
     )
     return per_doc.select(

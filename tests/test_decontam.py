@@ -67,3 +67,22 @@ def test_corpus_frequency_stats(spark):
     assert got[1]["rare_frac"] == 0.0 and not got[1]["unfamiliar"]
     assert got[2]["mean_tok_freq"] == 2.5
     assert got[2]["rare_frac"] == 0.5 and not got[2]["unfamiliar"]
+
+
+def test_corpus_frequency_probe_joins_distinct_token_stream(spark):
+    """r06 shuffle-shrink: the probe join's corpus side must be the
+    pre-aggregated per-document DISTINCT (id, tok, cnt) stream, not the
+    raw occurrence explode — the corpus explode runs exactly once."""
+    from gstored_spark.operators.quality import corpus_frequency_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    out = corpus_frequency_stats(df)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    # the explode was materialized away behind the checkpoint: the executed
+    # plan joins two scans of the SAME pre-aggregated RDD and contains no
+    # Generate (explode) node at all
+    assert "Generate" not in plan
+    # tree + detail section each list the two scans of the checkpointed RDD
+    assert plan.count("Scan ExistingRDD") == 4
