@@ -292,7 +292,7 @@ def _graph_artifact(spark: SparkSession, sf: str) -> "object":
         id_triples = chk(I.encode_triples(triples, entity_dict, literal_dict, pred_dict))
         routed = chk(P.route_triples(id_triples, n_parts))
         internal = chk(P.internal_vertices(routed, n_parts))
-        adj = chk(B.adjacency(routed, internal))
+        adj = chk(B.adjacency(routed, internal, n_parts=n_parts))
         sigs = chk(B.vertex_signatures_from_ids(id_triples, entity_dict, literal_dict))
         part_sig = B.partition_signature(B.partitioned_signatures(sigs, internal))
         res = PipelineResult(

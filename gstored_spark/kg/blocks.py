@@ -33,13 +33,33 @@ from gstored_spark.functions.signature import (
 )
 
 
-def adjacency(routed: DataFrame, internal: DataFrame, salt_col: str | None = None) -> DataFrame:
+def adjacency(
+    routed: DataFrame,
+    internal: DataFrame,
+    salt_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
     """routed id-triples -> adjacency(part, v, is_internal, out, in).
 
     ``out`` = sorted array<struct<p,o>> (s2po), ``in`` = sorted
     array<struct<p,s>> (o2ps). With ``salt_col`` present, aggregation is
     two-level: per-salt partial collect, then flatten+merge per vertex.
+
+    Unsalted shape is ONE exchange: out- and in-edge rows are tagged and
+    unioned, then a single groupBy(part, v) carries two conditional
+    collect_list accumulators (nulls are skipped, so each row lands in
+    exactly one array). The previous shape shuffled the same rows through
+    TWO groupBys and stitched them with a full_outer join — same bytes,
+    two extra stages (guide §2.4 "two operations keyed the same way can
+    share one exchange").
+
+    ``n_parts``: for hash-routed builds, is_internal is pure arithmetic
+    (owner(v) == part, gloadD.cpp:118-153) — computed inline instead of
+    joining the ``internal`` relation (one less join over every placed
+    vertex). Callers with a partition map keep the join.
     """
+    from gstored_spark.kg.partition import owner
+
     if salt_col:
         out_part = routed.groupBy("part", F.col("s").alias("v"), F.col(salt_col)).agg(
             F.collect_list(F.struct(F.col("p"), F.col("o"))).alias("chunk")
@@ -47,21 +67,44 @@ def adjacency(routed: DataFrame, internal: DataFrame, salt_col: str | None = Non
         out_edges = out_part.groupBy("part", "v").agg(
             F.sort_array(F.flatten(F.collect_list("chunk"))).alias("out")
         )
-    else:
-        out_edges = routed.groupBy("part", F.col("s").alias("v")).agg(
-            F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("o")))).alias("out")
+        in_edges = routed.filter("o_is_entity").groupBy("part", F.col("o").alias("v")).agg(
+            F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("s")))).alias("in")
         )
-    in_edges = routed.filter("o_is_entity").groupBy("part", F.col("o").alias("v")).agg(
-        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("s")))).alias("in")
-    )
-    adj = out_edges.join(in_edges, ["part", "v"], "full_outer")
-    adj = adj.join(internal, ["part", "v"], "left")
+        adj = out_edges.join(in_edges, ["part", "v"], "full_outer")
+        out_col, in_col = (
+            F.coalesce("out", F.array().cast("array<struct<p:long,o:long>>")),
+            F.coalesce("in", F.array().cast("array<struct<p:long,s:long>>")),
+        )
+    else:
+        tagged = routed.select(
+            "part",
+            F.col("s").alias("v"),
+            F.struct(F.col("p"), F.col("o")).alias("eo"),
+            F.lit(None).cast("struct<p:long,s:long>").alias("ei"),
+        ).unionByName(
+            routed.filter("o_is_entity").select(
+                "part",
+                F.col("o").alias("v"),
+                F.lit(None).cast("struct<p:long,o:long>").alias("eo"),
+                F.struct(F.col("p"), F.col("s")).alias("ei"),
+            )
+        )
+        adj = tagged.groupBy("part", "v").agg(
+            F.sort_array(F.collect_list("eo")).alias("out"),
+            F.sort_array(F.collect_list("ei")).alias("in"),
+        )
+        out_col, in_col = F.col("out"), F.col("in")
+    if n_parts is not None:
+        flag = owner(F.col("v"), n_parts) == F.col("part")
+    else:
+        adj = adj.join(internal, ["part", "v"], "left")
+        flag = F.coalesce("is_internal", F.lit(False))
     return adj.select(
         "part",
         "v",
-        F.coalesce("is_internal", F.lit(False)).alias("is_internal"),
-        F.coalesce("out", F.array().cast("array<struct<p:long,o:long>>")).alias("out"),
-        F.coalesce("in", F.array().cast("array<struct<p:long,s:long>>")).alias("in"),
+        flag.alias("is_internal"),
+        out_col.alias("out"),
+        in_col.alias("in"),
     )
 
 

@@ -196,10 +196,17 @@ def _run_pipeline_body(
         # the salting join); when it finds NO hot subject, skip the salt
         # join and the two-level collect/flatten/merge aggregation outright —
         # single-level adjacency is identical output for an all-cold graph
+        # hash-routed builds compute is_internal arithmetically inside
+        # adjacency (owner(v) == part); map-routed builds join `internal`
+        np_ = n_parts if partition_map is None else None
         if hot.limit(1).count() == 0:
-            return stage("adjacency", B.adjacency(routed, internal), "part")
+            return stage("adjacency", B.adjacency(routed, internal, n_parts=np_), "part")
         salted = P.salted_shuffle_key(routed, hot)
-        return stage("adjacency", B.adjacency(salted, internal, salt_col="salt"), "part")
+        return stage(
+            "adjacency",
+            B.adjacency(salted, internal, salt_col="salt", n_parts=np_),
+            "part",
+        )
 
     def sig_chain():
         # id-based build: per-term hashing + long-keyed joins

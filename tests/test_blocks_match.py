@@ -361,3 +361,51 @@ def test_eval_group_partitioned_parity(spark, toy_artifact):
         flat = {tuple(r) for r in eval_group(triples, g).collect()}
         got = {tuple(r) for r in eval_group_partitioned(art, g).collect()}
         assert got == flat and len(flat) > 0
+
+
+def test_adjacency_single_shuffle_shape_equivalence(spark, toy_artifact):
+    """The fused one-exchange adjacency (tagged union + conditional
+    collect_lists, inline is_internal arithmetic) must be row-identical to
+    the r5 shape (two groupBys + full_outer join + internal join) on a
+    graph with literal objects, crossing edges, and in-only/out-only
+    vertices."""
+    triples, _ = toy_artifact
+    entity_dict, literal_dict, pred_dict = I.build_dictionaries(triples)
+    id_triples = I.encode_triples(triples, entity_dict, literal_dict, pred_dict)
+    routed = P.route_triples(id_triples, N_PARTS)
+    internal = P.internal_vertices(routed, N_PARTS)
+
+    # reference implementation: the pre-r6 shape, verbatim
+    out_edges = routed.groupBy("part", F.col("s").alias("v")).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("o")))).alias("out")
+    )
+    in_edges = routed.filter("o_is_entity").groupBy("part", F.col("o").alias("v")).agg(
+        F.sort_array(F.collect_list(F.struct(F.col("p"), F.col("s")))).alias("in")
+    )
+    old = (
+        out_edges.join(in_edges, ["part", "v"], "full_outer")
+        .join(internal, ["part", "v"], "left")
+        .select(
+            "part", "v",
+            F.coalesce("is_internal", F.lit(False)).alias("is_internal"),
+            F.coalesce("out", F.array().cast("array<struct<p:long,o:long>>")).alias("out"),
+            F.coalesce("in", F.array().cast("array<struct<p:long,s:long>>")).alias("in"),
+        )
+    )
+
+    def norm(df):
+        return {
+            (r["part"], r["v"], r["is_internal"],
+             tuple((e["p"], e["o"]) for e in r["out"]),
+             tuple((e["p"], e["s"]) for e in r["in"]))
+            for r in df.collect()
+        }
+
+    new_inline = B.adjacency(routed, internal, n_parts=N_PARTS)
+    new_join = B.adjacency(routed, internal)
+    expected = norm(old)
+    assert norm(new_inline) == expected
+    assert norm(new_join) == expected
+    # in-only and out-only vertices must both be present with empty arrays
+    rows = {r["v"]: r for r in new_inline.collect()}
+    assert any(len(r["out"]) == 0 for r in rows.values())
