@@ -78,18 +78,27 @@ def assign_dense_ids(
 
 
 def assign_dense_ids_2ns(
-    terms: DataFrame, buckets: int | None = None
+    terms: DataFrame, buckets: int | None = None, distinct: bool = True
 ) -> DataFrame:
     """terms(ns int in {0,1}, term) distinct -> (ns, term, id): namespace 0
     numbered from 0, namespace 1 from LITERAL_FIRST_ID — one range shuffle
-    for both dictionaries instead of two separate assignment passes."""
+    for both dictionaries instead of two separate assignment passes.
+
+    ``distinct=False`` accepts a NON-distinct term stream and dedupes
+    INSIDE the range partitions: equal (ns, term) keys colocate under range
+    partitioning, so a per-partition aggregate is a global distinct — the
+    caller's separate hash-distinct shuffle over the full term stream
+    folds into the range exchange this assigner needs anyway (guide §2.4
+    "two operations keyed the same way can share one exchange")."""
     spark = terms.sparkSession
     buckets = buckets or spark.sparkContext.defaultParallelism
-    srt = (
-        terms.select("ns", "term")
-        .repartitionByRange(buckets, F.col("ns"), F.col("term"))
-        .sortWithinPartitions("ns", "term")
-        .withColumn("_pid", F.spark_partition_id())
+    srt = terms.select("ns", "term").repartitionByRange(
+        buckets, F.col("ns"), F.col("term")
+    )
+    if not distinct:
+        srt = srt.dropDuplicates(["ns", "term"])
+    srt = srt.sortWithinPartitions("ns", "term").withColumn(
+        "_pid", F.spark_partition_id()
     )
     srt = srt.persist()
     try:
@@ -135,21 +144,28 @@ def build_dictionaries(triples: DataFrame, buckets: int | None = None):
     entities = (
         triples.select(F.col("subj").alias("term"))
         .unionAll(triples.filter("o_is_entity").select(F.col("obj").alias("term")))
-        .distinct()
         .withColumn("ns", F.lit(0))
     )
     literals = (
         triples.filter(~F.col("o_is_entity"))
         .select(F.col("obj").alias("term"))
-        .distinct()
         .withColumn("ns", F.lit(1))
     )
-    both = assign_dense_ids_2ns(entities.unionByName(literals), buckets)
+    # the tiny predicate collect is its own job over the triple stream —
+    # run it concurrently with the assigner's jobs instead of after them
+    from concurrent.futures import ThreadPoolExecutor
+
+    preds = triples.select(F.col("pred").alias("term")).distinct()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_preds = pool.submit(lambda: sorted(r["term"] for r in preds.collect()))
+        # term streams go in NON-distinct: the assigner dedupes inside its
+        # range partitions, saving the separate hash-distinct shuffle
+        both = assign_dense_ids_2ns(
+            entities.unionByName(literals), buckets, distinct=False
+        )
+        pred_terms = f_preds.result()
     entity_dict = both.filter("ns = 0").select("term", "id")
     literal_dict = both.filter("ns = 1").select("term", "id")
-    preds = triples.select(F.col("pred").alias("term")).distinct()
-    # predicates: tiny by assumption -> driver-side sorted enumeration
-    pred_terms = sorted(r["term"] for r in preds.collect())
     spark = triples.sparkSession
     pred_dict = spark.createDataFrame(
         [(t, i) for i, t in enumerate(pred_terms)], schema="term string, id long"
