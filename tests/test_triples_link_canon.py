@@ -177,3 +177,43 @@ def test_jaccard_verify_size_prefilter_exact():
     got = {(r["a"], r["b"], round(r["jaccard"], 6))
            for r in jaccard_verify(pairs, sh, "id", threshold=0.8).collect()}
     assert got == {("x", "y", 0.8)}
+
+
+def test_lsh_verified_edges_matches_staged_path():
+    """The fused candidate+verify pass (lsh_verified_edges) must produce
+    exactly the edge set of lsh_candidate_pairs -> jaccard_verify: same
+    bucket bound, same a<b predicate, same exact Jaccard — including
+    near-identical strings that collide in several bands (the redundant
+    cross-band verification dedupes to one edge)."""
+    from pyspark.sql import SparkSession
+
+    from gstored_spark.operators.dedup import (
+        char_shingles,
+        jaccard_verify,
+        lsh_band_keys_fast,
+        lsh_candidate_pairs,
+        lsh_verified_edges,
+        minhash_signature_fast,
+    )
+
+    sp = SparkSession.getActiveSession()
+    names = [
+        "Acme Corp", "Acme  Corp", "acme corp.", "ACME CORP",
+        "Widget Industries", "Widget  Industries", "widget industries",
+        "Globex", "Globex Inc", "Initech", "Initech LLC",
+        "Umbrella Research Group", "Umbrella  Research Group",
+        "completely unrelated name one", "another distinct surface two",
+    ]
+    df = sp.createDataFrame([(n,) for n in names], ["surface"])
+    shingled = df.select(
+        F.col("surface"), char_shingles(F.col("surface"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = minhash_signature_fast(shingled, "surface", "shingles", 16)
+    bk = lsh_band_keys_fast(sig, "surface", 16, 4)
+    staged = jaccard_verify(
+        lsh_candidate_pairs(bk, "surface"), shingled, "surface", threshold=0.8
+    )
+    fused = lsh_verified_edges(bk, shingled, "surface", threshold=0.8)
+    want = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in staged.collect()}
+    got = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in fused.collect()}
+    assert got == want and len(want) > 0
